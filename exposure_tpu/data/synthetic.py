@@ -1,0 +1,48 @@
+"""Procedural datasets for tests, smoke training and benchmarking.
+
+The real FiveK pack is a 2.4 GB download (reference fetch_fivek.py); CI and
+the zero-egress dev environment need a stand-in.  ``SyntheticDataProvider``
+produces smooth random fields styled either like linearized RAW inputs
+(dark, low saturation) or like retouched targets (bright, saturated), so
+the full RL+GAN loop has a meaningful gap to close."""
+
+import numpy as np
+
+from exposure_tpu.data.provider import DataProvider
+
+
+def _smooth_field(rng, n, size, channels=3, octaves=3):
+    img = np.zeros((n, size, size, channels), dtype=np.float32)
+    for o in range(octaves):
+        s = max(size >> (octaves - 1 - o), 2)
+        noise = rng.rand(n, s, s, channels).astype(np.float32)
+        reps = size // s
+        up = np.repeat(np.repeat(noise, reps, axis=1), reps, axis=2)
+        img += up * (0.5 ** o)
+    img /= img.max(axis=(1, 2, 3), keepdims=True) + 1e-6
+    return img
+
+
+def make_synthetic_pack(n=256, size=80, style='raw', seed=0):
+    rng = np.random.RandomState(seed)
+    img = _smooth_field(rng, n, size)
+    if style == 'raw':
+        # dark, washed out, like an un-toned linear RAW
+        img = img ** 2.2 * rng.uniform(0.15, 0.45, (n, 1, 1, 1))
+        gray = img.mean(axis=3, keepdims=True)
+        img = 0.7 * gray + 0.3 * img
+    elif style == 'retouched':
+        # bright, contrasty, saturated
+        img = np.clip(img * 1.2, 0, 1) ** 0.8
+        gray = img.mean(axis=3, keepdims=True)
+        img = np.clip(gray + 1.5 * (img - gray), 0, 1)
+    else:
+        raise ValueError(style)
+    return img.astype(np.float32)
+
+
+class SyntheticDataProvider(DataProvider):
+
+    def __init__(self, n=256, size=80, style='raw', seed=0, *args, **kwargs):
+        data = make_synthetic_pack(n, size, style, seed)
+        super().__init__(data, *args, **kwargs)
