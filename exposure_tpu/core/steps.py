@@ -1,0 +1,175 @@
+"""Jitted, sharded train steps: the entire outer iteration on device.
+
+The reference runs, per outer iteration, one generator+value ``sess.run``
+plus ``citers`` critic ``sess.run``s, each with a host-built feed dict
+(net.py:307-364) — 6+ host<->device round trips per iteration.  Here one
+``outer_step`` call executes the whole iteration (giters generator/value
+updates via lax.scan, then citers critic updates via lax.scan) inside a
+single jitted ``shard_map`` over the data-parallel mesh:
+
+- dataset packs and the replay pool are sharded over devices (each device
+  runs an independent slice of the replay cycle, statistically equivalent
+  to n smaller pools);
+- parameters/optimizer state are replicated; gradients and scalar metrics
+  are ``lax.pmean``-ed over ICI;
+- per-device randomness comes from folding the axis index into the key.
+
+The iteration schedule knobs (citers bursts of 100 at initialization and
+every 500 iters; iter-0 warmup of 100 generator steps at lr 0 that only
+populates the pool with terminated records, net.py:312-328) are handled by
+compiling the few (giters, citers) variants that occur.
+"""
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from exposure_tpu.core.losses import critic_loss, generator_value_loss
+from exposure_tpu.core.replay import (
+    reinsert,
+    sample_terminated,
+    select_generator_batch,
+)
+from exposure_tpu.core.train_state import apply_lr_update
+from exposure_tpu.data.device_sampler import DevicePack, sample_batch
+from exposure_tpu.parallel.mesh import DATA_AXIS
+
+pmean = functools.partial(jax.lax.pmean, axis_name=DATA_AXIS)
+
+
+class StepMetrics(NamedTuple):
+    g_loss: jnp.ndarray
+    v_loss: jnp.ndarray
+    emd: jnp.ndarray
+    critic_gradient_norm: jnp.ndarray
+    reward: jnp.ndarray
+    pool_avg_trajectory: jnp.ndarray
+    pool_terminated_frac: jnp.ndarray
+
+
+def build_outer_step(cfg, policy, critic_mod, value_mod, filters, tx, mesh,
+                     fake_meta, real_meta, giters, citers):
+    """Compile the full-iteration train step for fixed (giters, citers).
+
+    Args:
+      fake_meta/real_meta: (output_size, augment) static sampling metadata
+        of the dataset packs (their image arrays are passed at call time,
+        sharded over the mesh).
+    """
+    n_dev = mesh.shape[DATA_AXIS]
+    local_batch = cfg.batch_size // n_dev
+    assert cfg.batch_size % n_dev == 0, (cfg.batch_size, n_dev)
+    assert cfg.replay_memory_size % n_dev == 0
+
+    fake_size, fake_augment = fake_meta
+    real_size, real_augment = real_meta
+
+    def sharded_step(state, pool, fake_images, real_images, key, lr_g, lr_c,
+                     progress):
+        axis = jax.lax.axis_index(DATA_AXIS)
+        key = jax.random.fold_in(key, axis)
+        local_pool = pool.size
+
+        def sample_fake(k, n):
+            return sample_batch(
+                DevicePack(fake_images, fake_size, fake_augment), k, n)
+
+        def sample_real(k, n):
+            return sample_batch(
+                DevicePack(real_images, real_size, real_augment), k, n)
+
+        # ---------------- generator + value phase ----------------
+        def g_body(carry, k):
+            st, pl = carry
+            k_sel, k_f1, k_f2, k_f3, k_step, k_keep = jax.random.split(k, 6)
+
+            fresh_batch = sample_fake(k_f1, local_batch)
+            sel_idx, b_img, b_states, dropped = select_generator_batch(
+                pl, k_sel, local_batch, fresh_batch)
+
+            params = {'gen': st.gen_params, 'val': st.val_params}
+            (_, aux), grads = jax.value_and_grad(
+                generator_value_loss, has_aux=True)(
+                    params, st.crit_params, policy, critic_mod, value_mod,
+                    b_img, b_states, k_step, jnp.int32(1), progress, cfg,
+                    filters)
+            grads = pmean(grads)
+            g_loss = pmean(aux.g_loss)
+            v_loss = pmean(aux.v_loss)
+            reward = pmean(jnp.mean(aux.reward))
+
+            gen_params, opt_g = apply_lr_update(
+                tx, grads['gen'], st.opt_g, st.gen_params, lr_g)
+            val_params, opt_v = apply_lr_update(
+                tx, grads['val'], st.opt_v, st.val_params,
+                lr_g * cfg.value_lr_mul)
+            st = st.replace(gen_params=gen_params, val_params=val_params,
+                            opt_g=opt_g, opt_v=opt_v)
+
+            fresh2 = sample_fake(k_f2, local_batch)
+            fresh_pool = sample_fake(k_f3, local_pool)
+            pl = reinsert(pl, k_keep, sel_idx, aux.new_images,
+                          aux.new_states, dropped, fresh2, fresh_pool,
+                          cfg.maximum_trajectory_length,
+                          cfg.over_length_keep_prob)
+            return (st, pl), (g_loss, v_loss, reward)
+
+        g_keys = jax.random.split(jax.random.fold_in(key, 1), giters)
+        (state, pool), (g_losses, v_losses, rewards) = jax.lax.scan(
+            g_body, (state, pool), g_keys)
+
+        # ---------------- critic phase ----------------
+        def c_body(st, k):
+            k_real, k_fake, k_gp, k_c = jax.random.split(k, 4)
+            real_batch = sample_real(k_real, local_batch)
+            fake_batch, _ = sample_terminated(pool, k_fake, local_batch)
+            (_, aux), grads = jax.value_and_grad(
+                critic_loss, has_aux=True)(
+                    st.crit_params, critic_mod, real_batch, fake_batch,
+                    k_gp, cfg)
+            grads = pmean(grads)
+            emd = pmean(aux.emd)
+            cgn = pmean(aux.critic_gradient_norm)
+            c_avg = pmean(aux.c_average)
+            crit_params, opt_c = apply_lr_update(
+                tx, grads, st.opt_c, st.crit_params, lr_c)
+            st = st.replace(crit_params=crit_params, opt_c=opt_c,
+                            ema=st.ema.update(c_avg))
+            return st, (emd, cgn)
+
+        if citers > 0:
+            c_keys = jax.random.split(jax.random.fold_in(key, 2), citers)
+            state, (emds, cgns) = jax.lax.scan(c_body, state, c_keys)
+            emd = jnp.mean(emds)
+            cgn = cgns[-1]
+        else:
+            emd = jnp.zeros(())
+            cgn = jnp.zeros(())
+
+        state = state.replace(step=state.step + 1)
+        terminated_frac = pmean(jnp.mean(
+            pool.terminated_mask().astype(jnp.float32)))
+        avg_traj = pmean(pool.average_trajectory())
+        metrics = StepMetrics(
+            g_loss=jnp.mean(g_losses),
+            v_loss=jnp.mean(v_losses),
+            emd=emd,
+            critic_gradient_norm=cgn,
+            reward=jnp.mean(rewards),
+            pool_avg_trajectory=avg_traj,
+            pool_terminated_frac=terminated_frac,
+        )
+        return state, pool, metrics
+
+    mapped = jax.shard_map(
+        sharded_step,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(), P(),
+                  P(), P()),
+        out_specs=(P(), P(DATA_AXIS), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)

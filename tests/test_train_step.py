@@ -1,0 +1,109 @@
+"""End-to-end outer-step tests on an 8-device CPU mesh: the full
+generator+value+critic iteration compiles, runs, updates parameters, and
+keeps the replay pool coherent."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from exposure_tpu.core.replay import PoolState
+from exposure_tpu.core.steps import build_outer_step
+from exposure_tpu.core.train_state import TrainState, make_optimizer
+from exposure_tpu.data.synthetic import make_synthetic_pack
+from exposure_tpu.models import CriticNet, PolicyNet
+from exposure_tpu.parallel.mesh import DATA_AXIS, data_parallel_mesh
+from exposure_tpu.utils import load_config
+from exposure_tpu.utils.ops import STATE_STEP_DIM, STATE_STOPPED_DIM
+
+
+@pytest.fixture(scope='module')
+def setup():
+    cfg = load_config('test')
+    mesh = data_parallel_mesh(8)
+    filters = [f(cfg) for f in cfg.filters]
+    policy = PolicyNet(
+        filter_output_dims=tuple(
+            f.get_num_filter_parameters() + f.get_num_mask_parameters()
+            for f in filters),
+        feature_extractor_dims=cfg.feature_extractor_dims,
+        base_channels=cfg.base_channels,
+        fc1_size=cfg.fc1_size,
+        dropout_keep_prob=cfg.dropout_keep_prob)
+    critic = CriticNet(cfg.base_channels, cfg.fc1_size)
+    value = CriticNet(cfg.base_channels, cfg.fc1_size)
+
+    key = jax.random.PRNGKey(0)
+    img = jnp.zeros((2, 64, 64, 3 + cfg.num_state_dim))
+    gen_params = policy.init({'params': key, 'dropout': key}, img)
+    crit_params = critic.init(key, jnp.zeros((2, 64, 64, 3)))
+    val_params = value.init(key, jnp.zeros((2, 64, 64, 3)),
+                            jnp.zeros((2, cfg.num_state_dim)))
+    tx = make_optimizer(cfg.adam_beta1, cfg.adam_beta2)
+    state = TrainState.create(gen_params, val_params, crit_params, tx)
+
+    fake_pack = jnp.asarray(make_synthetic_pack(64, 80, 'raw', 0))
+    real_pack = jnp.asarray(make_synthetic_pack(64, 64, 'retouched', 2))
+    shard = NamedSharding(mesh, P(DATA_AXIS))
+    fake_pack = jax.device_put(fake_pack, shard)
+    real_pack = jax.device_put(real_pack, shard)
+
+    pool_images = jax.device_put(
+        jnp.asarray(make_synthetic_pack(cfg.replay_memory_size, 80, 'raw',
+                                        7))[:, 8:72, 8:72], shard)
+    pool = PoolState.create(pool_images, cfg.num_state_dim)
+    pool = pool.replace(states=jax.device_put(pool.states, shard))
+
+    step = build_outer_step(cfg, policy, critic, value, filters, tx, mesh,
+                            fake_meta=(64, True), real_meta=(64, True),
+                            giters=2, citers=2)
+    return cfg, state, pool, fake_pack, real_pack, step
+
+
+def test_outer_step_runs_and_updates(setup):
+    cfg, state, pool, fake_pack, real_pack, step = setup
+    key = jax.random.PRNGKey(42)
+    state2, pool2, metrics = step(state, pool, fake_pack, real_pack, key,
+                                  jnp.float32(1e-4), jnp.float32(1e-4),
+                                  jnp.float32(0.0))
+    for name, v in metrics._asdict().items():
+        assert np.isfinite(np.asarray(v)).all(), name
+    # parameters must have moved
+    def delta(a, b):
+        return sum(float(jnp.abs(x - y).sum()) for x, y in zip(
+            jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)))
+    assert delta(state.gen_params, state2.gen_params) > 0
+    assert delta(state.crit_params, state2.crit_params) > 0
+    assert delta(state.val_params, state2.val_params) > 0
+    # pool states coherent
+    ps = np.asarray(pool2.states)
+    assert (ps[:, STATE_STEP_DIM] >= 0).all()
+    assert (ps[:, STATE_STEP_DIM] <= cfg.maximum_trajectory_length + 1).all()
+    assert int(state2.step) == 1
+
+
+def test_pool_advances_and_terminates(setup):
+    cfg, state, pool, fake_pack, real_pack, step = setup
+    key = jax.random.PRNGKey(7)
+    for i in range(6):
+        state, pool, metrics = step(state, pool, fake_pack, real_pack,
+                                    jax.random.fold_in(key, i),
+                                    jnp.float32(0.0), jnp.float32(0.0),
+                                    jnp.float32(0.0))
+    ps = np.asarray(pool.states)
+    # after 12 generator updates on a 32-slot pool (batch 16), trajectories
+    # must have advanced and some must have terminated
+    assert ps[:, STATE_STEP_DIM].max() >= cfg.test_steps
+    assert (ps[:, STATE_STOPPED_DIM] > 0).any()
+    assert float(np.asarray(metrics.pool_avg_trajectory)) > 0.5
+
+
+def test_lr_zero_keeps_params(setup):
+    cfg, state, pool, fake_pack, real_pack, step = setup
+    state2, pool2, _ = step(state, pool, fake_pack, real_pack,
+                            jax.random.PRNGKey(0), jnp.float32(0.0),
+                            jnp.float32(0.0), jnp.float32(0.0))
+    for a, b in zip(jax.tree_util.tree_leaves(state.gen_params),
+                    jax.tree_util.tree_leaves(state2.gen_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
