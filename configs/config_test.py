@@ -11,11 +11,18 @@ cfg.batch_size = 16
 cfg.replay_memory_size = 32
 cfg.num_samples = 16
 cfg.max_iter_step = 20
-cfg.critic_initialization = 2
+cfg.critic_initialization = 1
 cfg.citers = 2
+cfg.critic_burst = 4
 cfg.summary_freq = 5
-cfg.write_image_interval = 10
-cfg.warmup_giters = 20
+cfg.write_image_interval = 0
+cfg.warmup_giters = 6
+cfg.checkpoint_interval = 2
+
+# shrunken networks for fast CPU compilation
+cfg.base_channels = 16
+cfg.feature_extractor_dims = 1024
+cfg.fc1_size = 32
 
 cfg.fake_data_provider = lambda: SyntheticDataProvider(
     n=64, size=80, style='raw', seed=0,

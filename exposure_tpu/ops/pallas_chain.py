@@ -1,0 +1,237 @@
+"""Fused Pallas TPU kernel: apply a whole K-step filter chain in ONE pass.
+
+The reference replays a trajectory on a full-resolution image as K
+sequential graph ops with a host round trip per step (net.py:796-821) —
+K HBM reads + K HBM writes.  Filter math is pure per-pixel arithmetic, so
+the chain is perfectly fusable: this kernel reads each pixel tile into
+VMEM once, applies all K steps with REAL control flow (lax.switch on the
+per-image filter id prefetched into SMEM — only the selected filter's math
+executes, unlike the branchless jnp chain which must compute all K
+filters), and writes once.  The kernel is the benchmark fast path for the
+>=10k img/s @512px target (BASELINE.md).
+
+Layout: channels-planar [B, 3, H, W] so tiles are clean (sublane, 128-lane)
+2-D planes per channel; the NHWC wrapper transposes/pads around the call.
+
+Scope: the 9 pointwise filters (E, G, W, S+, T, Ct, BW, C, Le) plus an
+identity slot used for inactive trajectory steps.  Spatial masking
+(cfg.masking, dormant in all shipped configs) and the vignette filter fall
+back to the jnp chain (ops/chain.py).
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# ---------------------------------------------------------------------------
+# Planar per-filter math: (r, g, b, params_ref_row) -> (r, g, b)
+# Each matches the NHWC implementation in ops/filters.py (which carries the
+# reference parity); params are already regressed values.
+# ---------------------------------------------------------------------------
+
+
+def _exposure(r, g, b, p):
+    m = jnp.exp(p[0] * math.log(2.0))
+    return r * m, g * m, b * m
+
+
+def _gamma(r, g, b, p):
+    gm = p[0]
+    return (jnp.power(jnp.maximum(r, 0.001), gm),
+            jnp.power(jnp.maximum(g, 0.001), gm),
+            jnp.power(jnp.maximum(b, 0.001), gm))
+
+
+def _white_balance(r, g, b, p):
+    return r * p[0], g * p[1], b * p[2]
+
+
+def _curve_apply(x, p, offset, steps):
+    total = x * 0
+    psum = 1e-30
+    for i in range(steps):
+        psum = psum + p[offset + i]
+    for i in range(steps):
+        total = total + jnp.clip(x - i / steps, 0.0, 1.0 / steps) * \
+            p[offset + i]
+    return total * (steps / psum)
+
+
+def _tone(steps):
+    def fn(r, g, b, p):
+        return (_curve_apply(r, p, 0, steps), _curve_apply(g, p, 0, steps),
+                _curve_apply(b, p, 0, steps))
+    return fn
+
+
+def _color(steps):
+    def fn(r, g, b, p):
+        return (_curve_apply(r, p, 0 * steps, steps),
+                _curve_apply(g, p, 1 * steps, steps),
+                _curve_apply(b, p, 2 * steps, steps))
+    return fn
+
+
+def _contrast(r, g, b, p):
+    lum = jnp.clip(0.27 * r + 0.67 * g + 0.06 * b, 0.0, 1.0)
+    clum = -jnp.cos(math.pi * lum) * 0.5 + 0.5
+    scale = clum / (lum + 1e-6)
+    t = p[0]
+    return (r + (r * scale - r) * t, g + (g * scale - g) * t,
+            b + (b * scale - b) * t)
+
+
+def _bw(r, g, b, p):
+    lum = 0.27 * r + 0.67 * g + 0.06 * b
+    t = p[0]
+    return (r + (lum - r) * t, g + (lum - g) * t, b + (lum - b) * t)
+
+
+def _level(r, g, b, p):
+    lo = p[0]
+    hi = p[1] + 1.0
+    inv = 1.0 / (hi - lo + 1e-6)
+    return (jnp.clip((r - lo) * inv, 0.0, 1.0),
+            jnp.clip((g - lo) * inv, 0.0, 1.0),
+            jnp.clip((b - lo) * inv, 0.0, 1.0))
+
+
+def _saturation(r, g, b, p):
+    # HSV round trip expressed channel-wise: with value v and saturation s,
+    # every RGB channel is v*(1 - s*w); boosting s to s2 maps
+    # c -> v - (v-c)*(s2/s).  Gray pixels (range==0) take the explicit
+    # hue-0 path of hsv_to_rgb (r=v, g=b=v*(1-s2)), matching
+    # ops/color_space.py and reference tf.image semantics.
+    r1 = jnp.minimum(r, 1.0)
+    g1 = jnp.minimum(g, 1.0)
+    b1 = jnp.minimum(b, 1.0)
+    v = jnp.maximum(jnp.maximum(r1, g1), b1)
+    mn = jnp.minimum(jnp.minimum(r1, g1), b1)
+    rng = v - mn
+    safe_v = jnp.where(v > 0, v, 1.0)
+    s = jnp.where(v > 0, rng / safe_v, 0.0)
+    s2 = s + (1.0 - s) * (0.5 - jnp.abs(0.5 - v)) * 0.8
+    ratio = s2 * safe_v / jnp.where(rng > 0, rng, 1.0)
+    gray = rng <= 0
+
+    def enhance(c, gray_val):
+        full = jnp.where(gray, gray_val, v - (v - c) * ratio)
+        t = p[0]
+        return c * (1.0 - t) + full * t
+
+    vg = v * (1.0 - s2)
+    return enhance(r1, v), enhance(g1, vg), enhance(b1, vg)
+
+
+_PLANAR_IMPL = {
+    'ExposureFilter': lambda cfg: _exposure,
+    'GammaFilter': lambda cfg: _gamma,
+    'ImprovedWhiteBalanceFilter': lambda cfg: _white_balance,
+    'SaturationPlusFilter': lambda cfg: _saturation,
+    'ToneFilter': lambda cfg: _tone(cfg.curve_steps),
+    'ContrastFilter': lambda cfg: _contrast,
+    'WNBFilter': lambda cfg: _bw,
+    'ColorFilter': lambda cfg: _color(cfg.curve_steps),
+    'LevelFilter': lambda cfg: _level,
+}
+
+
+def planar_branches(filters):
+    """Branch list for the kernel switch: one per filter + identity last."""
+    branches = []
+    for f in filters:
+        name = type(f).__name__
+        if name not in _PLANAR_IMPL or f.use_masking():
+            raise NotImplementedError(
+                'pallas chain does not support %s (masking=%s); use the '
+                'jnp chain' % (name, f.use_masking()))
+        branches.append(_PLANAR_IMPL[name](f.cfg))
+    branches.append(lambda r, g, b, p: (r, g, b))  # identity
+    return branches
+
+
+def _chain_kernel(ids_ref, params_ref, img_ref, out_ref, *, branches,
+                  num_steps):
+    r = img_ref[0, 0]
+    g = img_ref[0, 1]
+    b = img_ref[0, 2]
+    for k in range(num_steps):
+        fid = ids_ref[0, k]
+        p = params_ref[0, k]
+
+        def make_branch(fn):
+            def run(operands):
+                rr, gg, bb = operands
+                return fn(rr, gg, bb, p)
+            return run
+
+        r, g, b = jax.lax.switch(fid, [make_branch(fn) for fn in branches],
+                                 (r, g, b))
+    out_ref[0, 0] = r
+    out_ref[0, 1] = g
+    out_ref[0, 2] = b
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def pallas_apply_filter_chain(img, filter_ids, packed_params, filters,
+                              active_steps=None, tile=(256, 256),
+                              interpret=False):
+    """Fused chain replay.
+
+    Args:
+      img: [B, H, W, 3] float32 NHWC image (linear domain).
+      filter_ids: [K, B] int32 per-step choices (rollout layout).
+      packed_params: [K, B, max_p] float32 packed parameters.
+      filters: instantiated filter list (masking must be off).
+      active_steps: optional [K, B] 0/1; inactive steps become identity.
+      tile: (sublane, lane) tile; lane should be a multiple of 128.
+      interpret: run in interpreter mode (CPU testing).
+
+    Returns: [B, H, W, 3] float32.
+    """
+    branches = planar_branches(filters)
+    identity_id = len(branches) - 1
+    num_steps, batch = filter_ids.shape[0], filter_ids.shape[1]
+
+    ids = jnp.transpose(filter_ids, (1, 0)).astype(jnp.int32)  # [B, K]
+    params = jnp.transpose(packed_params, (1, 0, 2))           # [B, K, P]
+    if active_steps is not None:
+        act = jnp.transpose(active_steps, (1, 0))
+        ids = jnp.where(act > 0, ids, identity_id)
+
+    b, h, w, c = img.shape
+    assert c == 3
+    th, tw = tile
+    hp, wp = _round_up(h, th), _round_up(w, tw)
+    planar = jnp.transpose(img, (0, 3, 1, 2))  # [B, 3, H, W]
+    planar = jnp.pad(planar, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
+
+    max_p = params.shape[-1]
+    kernel = functools.partial(_chain_kernel, branches=branches,
+                               num_steps=num_steps)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, hp // th, wp // tw),
+        in_specs=[
+            pl.BlockSpec((1, num_steps), lambda bi, i, j: (bi, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, num_steps, max_p), lambda bi, i, j: (bi, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3, th, tw), lambda bi, i, j: (bi, 0, i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 3, th, tw), lambda bi, i, j: (bi, 0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 3, hp, wp), img.dtype),
+        interpret=interpret,
+    )(ids, params, planar)
+
+    out = out[:, :, :h, :w]
+    return jnp.transpose(out, (0, 2, 3, 1))

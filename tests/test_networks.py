@@ -61,14 +61,29 @@ def test_policy_shapes(cfg, filters, policy_and_vars):
                            f.get_num_mask_parameters())
 
 
-def test_feature_extractor_conv_progression(policy_and_vars):
-    # 64x64 input must go through 4 stride-2 convs: 32, 64, 128, 256
-    # channels (reference agent.py:11-37 with base_channels=32, dims=4096).
+def test_feature_extractor_conv_progression(cfg, policy_and_vars):
+    # 64x64 input goes through 4 stride-2 convs doubling channels from
+    # base_channels, with the last conv sized dims/16 (reference
+    # agent.py:11-37).
     _, variables = policy_and_vars
     params = variables['params']['shared_extractor']
     convs = sorted(k for k in params if k.startswith('Conv'))
     out_channels = [params[k]['kernel'].shape[-1] for k in convs]
-    assert out_channels == [32, 64, 128, 256]
+    b = cfg.base_channels
+    assert out_channels == [b, 2 * b, 4 * b, cfg.feature_extractor_dims // 16]
+
+
+def test_flagship_extractor_matches_reference_shapes():
+    # Flagship (config_example) sizes: 32 -> 64 -> 128 -> 256 with a
+    # 4096-d bottleneck (reference agent.py:11-37, config_example.py:71,80).
+    from exposure_tpu.models.networks import FeatureExtractor
+    fe = FeatureExtractor(output_dim=4096, base_channels=32)
+    key = jax.random.PRNGKey(0)
+    variables = fe.init({'params': key, 'dropout': key},
+                        jnp.zeros((1, 64, 64, 14)))
+    convs = sorted(k for k in variables['params'] if k.startswith('Conv'))
+    chans = [variables['params'][k]['kernel'].shape[-1] for k in convs]
+    assert chans == [32, 64, 128, 256]
 
 
 def test_critic_shapes(cfg):

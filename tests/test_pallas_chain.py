@@ -1,0 +1,94 @@
+"""Fused Pallas chain kernel vs the composed jnp filter chain: bit-near
+equality on random trajectories (interpreter mode on CPU; the same kernel
+compiles for TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from exposure_tpu.ops.chain import apply_filter_chain
+from exposure_tpu.ops.filters import max_filter_parameters
+from exposure_tpu.ops.pallas_chain import pallas_apply_filter_chain
+from exposure_tpu.utils import load_config
+
+
+@pytest.fixture(scope='module')
+def cfg():
+    return load_config('test')
+
+
+@pytest.fixture(scope='module')
+def filters(cfg):
+    return [f(cfg) for f in cfg.filters]
+
+
+def random_trajectory(rng, filters, k, b):
+    """Random (ids, packed regressed params) like a rollout would emit."""
+    max_p = max_filter_parameters(filters)
+    ids = rng.randint(0, len(filters), (k, b)).astype(np.int32)
+    params = np.zeros((k, b, max_p), np.float32)
+    for s in range(k):
+        for i in range(b):
+            f = filters[ids[s, i]]
+            n = f.get_num_filter_parameters()
+            raw = rng.randn(1, n).astype(np.float32)
+            reg = np.asarray(f.filter_param_regressor(jnp.asarray(raw)))
+            params[s, i, :n] = reg.reshape(-1)
+    return jnp.asarray(ids), jnp.asarray(params)
+
+
+@pytest.mark.parametrize('shape', [(2, 64, 64), (1, 96, 160)])
+def test_pallas_matches_jnp_chain(rng, cfg, filters, shape):
+    b, h, w = shape
+    img = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32) * 0.9)
+    ids, params = random_trajectory(rng, filters, cfg.test_steps, b)
+    expected = apply_filter_chain(img, ids, params, filters)
+    got = pallas_apply_filter_chain(img, ids, params, filters,
+                                    tile=(32, 128), interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               atol=3e-5, rtol=1e-4)
+
+
+def test_pallas_respects_active_mask(rng, cfg, filters):
+    img = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32) * 0.9)
+    ids, params = random_trajectory(rng, filters, 5, 1)
+    active = jnp.asarray(np.array([[1], [1], [0], [0], [0]], np.float32))
+    expected = apply_filter_chain(img, ids, params, filters,
+                                  active_steps=active)
+    got = pallas_apply_filter_chain(img, ids, params, filters,
+                                    active_steps=active, tile=(32, 128),
+                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               atol=3e-5, rtol=1e-4)
+
+
+def test_pallas_all_identity_is_noop(rng, cfg, filters):
+    img = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    ids = jnp.zeros((3, 1), jnp.int32)
+    params = jnp.zeros((3, 1, max_filter_parameters(filters)), jnp.float32)
+    active = jnp.zeros((3, 1), jnp.float32)
+    got = pallas_apply_filter_chain(img, ids, params, filters,
+                                    active_steps=active, tile=(32, 128),
+                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(img), atol=1e-6)
+
+
+def test_every_single_filter_matches(rng, cfg, filters):
+    # one-step chains isolating each filter
+    img = jnp.asarray(rng.rand(1, 32, 128, 3).astype(np.float32) * 0.9)
+    max_p = max_filter_parameters(filters)
+    for fid, f in enumerate(filters):
+        n = f.get_num_filter_parameters()
+        raw = rng.randn(1, n).astype(np.float32)
+        reg = np.asarray(f.filter_param_regressor(jnp.asarray(raw)))
+        params = np.zeros((1, 1, max_p), np.float32)
+        params[0, 0, :n] = reg.reshape(-1)
+        ids = jnp.full((1, 1), fid, jnp.int32)
+        expected = apply_filter_chain(img, ids, jnp.asarray(params), filters)
+        got = pallas_apply_filter_chain(img, ids, jnp.asarray(params),
+                                        filters, tile=(32, 128),
+                                        interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expected), atol=3e-5, rtol=1e-4,
+            err_msg='filter %s' % f.get_short_name())
