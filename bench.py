@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Headline benchmark: 5-step filter-chain inference at 512x512.
+
+Pipeline per batch (the full white-box inference path, matching what the
+reference does per image in net.py:796-821 but batched and fused):
+  1. downsample 512x512 -> 64x64 proxies (on device),
+  2. 5-step policy rollout on the proxies (one lax.scan),
+  3. replay the recorded chains on the 512x512 originals with the fused
+     Pallas kernel (one HBM pass).
+
+Prints ONE JSON line: images/sec plus vs_baseline.
+
+vs_baseline: the north-star target is >=10,000 images/sec on a v5e-8
+slice (BASELINE.md); this benchmark runs on however many chips are
+visible, so the target is pro-rated per chip (1250 img/s/chip) and
+vs_baseline = value / (1250 * n_chips).  The reference itself runs
+batch-1, one sess.run per step on GPU (net.py:796-821) — no published
+number exists to compare against directly (BASELINE.json "published": {}).
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def build_pipeline(batch, res, use_pallas=True):
+    from exposure_tpu.core.rollout import rollout
+    from exposure_tpu.core.trainer import build_models, init_train_state
+    from exposure_tpu.ops.chain import apply_filter_chain
+    from exposure_tpu.ops.pallas_chain import pallas_apply_filter_chain
+    from exposure_tpu.utils.config import load_config
+
+    cfg = load_config('example')
+    filters, policy, critic, value = build_models(cfg)
+    state, _ = init_train_state(cfg, policy, critic, value, seed=0)
+
+    def pipeline(gen_params, high_res, key):
+        proxy = jax.image.resize(
+            high_res, (batch, cfg.source_img_size, cfg.source_img_size, 3),
+            method='linear')
+        traj = rollout(policy, gen_params, proxy, key, cfg=cfg,
+                       filters=filters, is_train=0)
+        if use_pallas:
+            out = pallas_apply_filter_chain(high_res, traj.filter_ids,
+                                            traj.params, filters)
+        else:
+            out = apply_filter_chain(high_res, traj.filter_ids, traj.params,
+                                     filters)
+        return out
+
+    fn = jax.jit(pipeline)
+    rng = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(rng, (batch, res, res, 3),
+                              jnp.float32) * 0.8
+    return fn, state.gen_params, imgs, rng
+
+
+def main():
+    batch = int(sys.argv[sys.argv.index('--batch') + 1]) \
+        if '--batch' in sys.argv else 64
+    res = 512
+    use_pallas = '--no-pallas' not in sys.argv
+    n_chips = len(jax.devices())
+
+    fn, params, imgs, rng = build_pipeline(batch, res, use_pallas)
+
+    # warmup / compile
+    out = fn(params, imgs, rng)
+    jax.block_until_ready(out)
+
+    iters = 10
+    t0 = time.time()
+    for i in range(iters):
+        out = fn(params, imgs, jax.random.fold_in(rng, i))
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+
+    img_per_sec = batch * iters / dt
+    target = 1250.0 * n_chips
+    print(json.dumps({
+        'metric': '512px_images_per_sec_5step_inference',
+        'value': round(img_per_sec, 2),
+        'unit': 'images/sec',
+        'vs_baseline': round(img_per_sec / target, 4),
+    }))
+
+
+if __name__ == '__main__':
+    main()

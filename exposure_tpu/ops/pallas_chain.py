@@ -155,13 +155,16 @@ def planar_branches(filters):
 
 
 def _chain_kernel(ids_ref, params_ref, img_ref, out_ref, *, branches,
-                  num_steps):
+                  num_steps, max_p):
+    bi = pl.program_id(0)
     r = img_ref[0, 0]
     g = img_ref[0, 1]
     b = img_ref[0, 2]
     for k in range(num_steps):
-        fid = ids_ref[0, k]
-        p = params_ref[0, k]
+        fid = ids_ref[bi, k]
+        # SMEM supports scalar loads only: read the packed parameter row
+        # element-wise (static unroll) into a python list of scalars.
+        p = [params_ref[bi, k, j] for j in range(max_p)]
 
         def make_branch(fn):
             def run(operands):
@@ -180,9 +183,33 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+def _chain_call(planar, ids, params, branches, tile, interpret):
+    """One pallas_call on a batch chunk (ids/params whole in SMEM)."""
+    b, _, hp, wp = planar.shape
+    num_steps = ids.shape[1]
+    max_p = params.shape[-1]
+    th, tw = tile
+    kernel = functools.partial(_chain_kernel, branches=branches,
+                               num_steps=num_steps, max_p=max_p)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, hp // th, wp // tw),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3, th, tw), lambda bi, i, j: (bi, 0, i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 3, th, tw), lambda bi, i, j: (bi, 0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 3, hp, wp), planar.dtype),
+        interpret=interpret,
+    )(ids, params, planar)
+
+
 def pallas_apply_filter_chain(img, filter_ids, packed_params, filters,
                               active_steps=None, tile=(256, 256),
-                              interpret=False):
+                              batch_chunk=8, interpret=False):
     """Fused chain replay.
 
     Args:
@@ -191,14 +218,15 @@ def pallas_apply_filter_chain(img, filter_ids, packed_params, filters,
       packed_params: [K, B, max_p] float32 packed parameters.
       filters: instantiated filter list (masking must be off).
       active_steps: optional [K, B] 0/1; inactive steps become identity.
-      tile: (sublane, lane) tile; lane should be a multiple of 128.
+      tile: (sublane, lane) tile; multiples of (8, 128).
+      batch_chunk: images per pallas_call — bounds the SMEM footprint of
+        the per-image trajectory scalars.
       interpret: run in interpreter mode (CPU testing).
 
     Returns: [B, H, W, 3] float32.
     """
     branches = planar_branches(filters)
     identity_id = len(branches) - 1
-    num_steps, batch = filter_ids.shape[0], filter_ids.shape[1]
 
     ids = jnp.transpose(filter_ids, (1, 0)).astype(jnp.int32)  # [B, K]
     params = jnp.transpose(packed_params, (1, 0, 2))           # [B, K, P]
@@ -209,29 +237,17 @@ def pallas_apply_filter_chain(img, filter_ids, packed_params, filters,
     b, h, w, c = img.shape
     assert c == 3
     th, tw = tile
+    th = min(th, _round_up(h, 8))
+    tw = min(tw, _round_up(w, 128))
     hp, wp = _round_up(h, th), _round_up(w, tw)
     planar = jnp.transpose(img, (0, 3, 1, 2))  # [B, 3, H, W]
     planar = jnp.pad(planar, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
 
-    max_p = params.shape[-1]
-    kernel = functools.partial(_chain_kernel, branches=branches,
-                               num_steps=num_steps)
-    out = pl.pallas_call(
-        kernel,
-        grid=(b, hp // th, wp // tw),
-        in_specs=[
-            pl.BlockSpec((1, num_steps), lambda bi, i, j: (bi, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, num_steps, max_p), lambda bi, i, j: (bi, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 3, th, tw), lambda bi, i, j: (bi, 0, i, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 3, th, tw), lambda bi, i, j: (bi, 0, i, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, 3, hp, wp), img.dtype),
-        interpret=interpret,
-    )(ids, params, planar)
-
+    outs = []
+    for s in range(0, b, batch_chunk):
+        e = min(s + batch_chunk, b)
+        outs.append(_chain_call(planar[s:e], ids[s:e], params[s:e],
+                                branches, (th, tw), interpret))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     out = out[:, :, :h, :w]
     return jnp.transpose(out, (0, 2, 3, 1))

@@ -1,0 +1,96 @@
+"""Tests for the offline tools: histogram-intersection metric, user-study
+session, and the TikZ exporter."""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from exposure_tpu.tools.histogram_intersection import (
+    calc_hist,
+    get_statistics,
+    hist_intersection,
+)
+from exposure_tpu.tools.user_study import RetouchSession, all_filters
+from exposure_tpu.tools.user_study.session import NUM_STEPS
+
+
+class TestHistogramIntersection:
+    def test_identical_distributions_are_100pct(self, rng):
+        vals = rng.rand(500)
+        h = calc_hist(vals)
+        assert hist_intersection(h, h) == pytest.approx(1.0)
+
+    def test_disjoint_distributions_are_0pct(self):
+        a = calc_hist(np.full(100, 0.1))
+        b = calc_hist(np.full(100, 0.9))
+        assert hist_intersection(a, b) == pytest.approx(0.0)
+
+    def test_statistics_oracle(self, rng):
+        img = rng.rand(64, 64, 3).astype(np.float32)
+        lum_mean, contrast, sat = get_statistics(img)
+        lum = (img[..., 0] * 0.27 + img[..., 1] * 0.67 + img[..., 2] * 0.06)
+        assert lum_mean == pytest.approx(lum.mean(), abs=1e-5)
+        assert contrast == pytest.approx(2 * lum.std(), abs=1e-5)
+        assert 0 <= sat <= 1
+
+
+class TestUserStudy:
+    def test_default_chain_structure(self, rng):
+        img = rng.rand(32, 32, 3).astype(np.float32)
+        s = RetouchSession(img, 'tester', 'img0')
+        out = s.recalculate()
+        assert out.shape == img.shape
+        assert np.isfinite(out).all()
+        assert len(s.action_sequence()) == NUM_STEPS
+
+    def test_exposure_step(self, rng):
+        img = (rng.rand(16, 16, 3) * 0.3).astype(np.float32)
+        s = RetouchSession(img, 't', 'i')
+        s.set_step_filter(0, 0)  # Exposure
+        s.set_parameters(0, [60])  # 0.6 -> EV +1
+        out = s.recalculate(upto=1)
+        np.testing.assert_allclose(out, np.clip(img * 2.0, 0, 1), rtol=1e-5)
+
+    def test_save_writes_image_and_json(self, rng, tmp_path):
+        img = rng.rand(16, 16, 3).astype(np.float32)
+        s = RetouchSession(img, 'tester', 'img0')
+        img_path, json_path = s.save(str(tmp_path))
+        assert os.path.exists(img_path)
+        with open(json_path) as f:
+            data = json.load(f)
+        assert data['user'] == 'tester'
+        assert len(data['actions']) == NUM_STEPS
+        for a in data['actions']:
+            assert 0 <= a['filter_id'] < len(all_filters)
+
+    def test_tone_spline_is_monotone_defaults(self):
+        from exposure_tpu.tools.user_study.filters import ToneFilter
+        f = ToneFilter()
+        x = np.linspace(0, 1, 64).astype(np.float32)[:, None, None]
+        y = f.apply(np.concatenate([x] * 3, axis=2))
+        assert (np.diff(y[:, 0, 0]) >= -1e-6).all()
+        np.testing.assert_allclose(y[:, 0, 0], x[:, 0, 0], atol=1e-5)
+
+
+class TestPickleToTex:
+    def test_convert(self, tmp_path):
+        from exposure_tpu.tools.pickle_to_tex import convert
+        debug = [{
+            'step': 0, 'filter_id': 1, 'short_name': 'T',
+            'filter_parameters': np.linspace(0.5, 2, 8),
+            'pdf': np.full(8, 1 / 8.0), 'applied': True,
+        }, {
+            'step': 1, 'filter_id': 2, 'short_name': 'W',
+            'filter_parameters': np.asarray([1.0, 0.9, 1.1]),
+            'pdf': np.full(8, 1 / 8.0), 'applied': True,
+        }]
+        pkl = str(tmp_path / 'x_debug.pkl')
+        with open(pkl, 'wb') as f:
+            pickle.dump(debug, f)
+        out = convert(pkl)
+        text = open(out).read()
+        assert r'\begin{tikzpicture}' in text
+        assert 'Step 1' in text and 'Step 2' in text
