@@ -58,15 +58,19 @@ def main():
     jax.block_until_ready(metrics)
     compile_s = time.time() - t_c
 
-    t0 = time.time()
+    # per-call timing with a median: the remote-TPU tunnel shows rare
+    # multi-second stalls unrelated to the program; the median reflects
+    # the device's steady-state iteration time.
+    times = []
     for i in range(iters):
+        t0 = time.time()
         state, pool, metrics = step(state, pool, fake, real,
                                     jax.random.fold_in(key, i),
                                     jnp.float32(1e-5), jnp.float32(5e-5),
                                     jnp.float32(i / 20000))
-    jax.block_until_ready(metrics)
-    dt = time.time() - t0
-    ms_per_iter = 1000 * dt / iters
+        jax.block_until_ready(metrics)
+        times.append(1000 * (time.time() - t0))
+    ms_per_iter = float(np.median(times))
     projected_min = ms_per_iter * 20001 / 1000 / 60
 
     print(json.dumps({

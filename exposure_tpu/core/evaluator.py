@@ -185,12 +185,26 @@ class Evaluator:
                       'wb') as f:
                 pickle.dump(debug, f)
 
-            # steps strip: input proxy + per-step low-res outputs
-            strip = [low_res] + [np.asarray(traj.images[i, 0])
-                                 for i in range(int(applied[0]))]
-            pad = [np.pad(s, ((1, 1), (1, 1), (0, 0)), constant_values=1.0)
-                   for s in strip]
-            save('steps', np.hstack(pad))
+            # steps figure: row 0 = input proxy + per-step low-res
+            # outputs; row 1 = decision (pdf) panels; row 2 = operation
+            # panels (reference net.py:845-877 layout)
+            from exposure_tpu.utils.viz import draw_step_panels
+            blank = np.ones_like(low_res)
+            n_applied = int(applied[0])
+            row_imgs = [low_res] + [np.asarray(traj.images[i, 0])
+                                    for i in range(n_applied)]
+            row_dec, row_op = [blank], [blank]
+            for i in range(n_applied):
+                dec, op = draw_step_panels(self.filters, debug[i],
+                                           size=low_res.shape[0])
+                row_dec.append(dec)
+                row_op.append(op)
+
+            def hpad(row):
+                return np.hstack([np.pad(r, ((1, 1), (1, 1), (0, 0)),
+                                         constant_values=1.0) for r in row])
+            save('steps', np.vstack([hpad(row_imgs), hpad(row_dec),
+                                     hpad(row_op)]))
             results.append({'file': fn, 'retouched': retouched,
                             'debug': debug})
         return results

@@ -92,8 +92,17 @@ def generator_value_loss(params, crit_params, policy, critic, value,
                    > cfg.maximum_trajectory_length).astype(jnp.float32)
     new_value_for_g = new_value_for_g * (1.0 - clear_final)
 
-    raw_reward = (cfg.all_reward + (1 - cfg.all_reward) * stopped) * (
-        fake_logit - sg(input_logit)) * cfg.critic_logit_multiplier
+    all_mask = cfg.all_reward + (1 - cfg.all_reward) * stopped
+    if cfg.get('supervised', False):
+        # Supervised mode (net.py:100-102): the "critic" scores distance
+        # to ground truth; reward is its negation.
+        raw_reward = all_mask * (-fake_logit)
+    elif cfg.gan == 'ls':
+        # LSGAN branch (net.py:104-106) — dormant in shipped configs.
+        raw_reward = all_mask * (1 - (fake_logit - 1) ** 2)
+    else:
+        raw_reward = all_mask * (
+            fake_logit - sg(input_logit)) * cfg.critic_logit_multiplier
     reward = raw_reward
     if cfg.use_penalty:
         reward = reward - out.penalty
@@ -135,12 +144,19 @@ class CriticLossAux(NamedTuple):
 
 
 def critic_loss(crit_params, critic, real_images, fake_images, key, cfg):
-    """WGAN-GP critic loss (net.py:151, 174-194)."""
+    """Critic loss: WGAN-GP (net.py:151, 174-194) or LSGAN
+    (net.py:131-134)."""
     fake_logit = critic.apply(crit_params, fake_images)
     real_logit = critic.apply(crit_params, real_images)
-    c_loss = jnp.mean(fake_logit) - jnp.mean(real_logit)
-    emd = -c_loss
-    c_average = jnp.mean(fake_logit + real_logit) * 0.5
+    if cfg.gan == 'ls':
+        c_loss = jnp.mean(fake_logit ** 2) + jnp.mean(
+            (real_logit - 1) ** 2)
+        emd = c_loss
+        c_average = jnp.zeros(())
+    else:
+        c_loss = jnp.mean(fake_logit) - jnp.mean(real_logit)
+        emd = -c_loss
+        c_average = jnp.mean(fake_logit + real_logit) * 0.5
 
     alpha = jax.random.uniform(key, (real_images.shape[0], 1, 1, 1))
     interpolated = real_images + alpha * (fake_images - real_images)
