@@ -114,6 +114,7 @@ class Trainer:
         self._steps = {}
         self._logger = MetricLogger(os.path.join(self.dir, 'metrics.jsonl'))
         self._rollout_fn = None
+        self._score_fn = None
 
     def _pad_to_devices(self, arr):
         n = arr.shape[0]
@@ -157,7 +158,12 @@ class Trainer:
         return self._steps[key]
 
     def train(self):
+        """Run the training loop; set ``cfg.profile_dir`` to capture a
+        jax.profiler device trace of iterations 20-30 (TensorBoard-
+        compatible; the reference's RunMetadata equivalent,
+        net.py:310-354)."""
         cfg = self.cfg
+        profile_dir = cfg.get('profile_dir', None)
         start_t = time.time()
         g_pool = MedianWindow(cfg.median_filter_size)
         v_pool = MedianWindow(cfg.median_filter_size)
@@ -177,6 +183,11 @@ class Trainer:
             giters = cfg.get('warmup_giters', 100) if it == 0 else cfg.giters
             lr_g = 0.0 if it == 0 else cfg.lr_g(it)
             lr_c = cfg.lr_c(it)
+
+            if profile_dir and it == 20:
+                jax.profiler.start_trace(profile_dir)
+            if profile_dir and it == 30:
+                jax.profiler.stop_trace()
 
             step = self._get_step(giters, citers)
             self.state, self.pool, metrics = step(
@@ -252,37 +263,77 @@ class Trainer:
         return self._rollout_fn(self.state.gen_params, jnp.asarray(images),
                                 key, jnp.int32(int(is_train)))
 
+    def critic_scores(self, images):
+        """Centered critic scores for a host batch (reference
+        centered_fake_logit, net.py:166-168)."""
+        if self._score_fn is None:
+            self._score_fn = jax.jit(
+                lambda p, x: self.critic.apply(p, x)[:, 0])
+        logits = self._score_fn(self.state.crit_params, jnp.asarray(images))
+        return np.asarray(logits) - float(self.state.ema.value)
+
     def visualize(self, it):
         """Write the periodic visualization grid (reference
-        net.py:420-552; v1 layout: rollout trajectories on top, pool /
-        generated / real sample grids below)."""
+        net.py:420-552): rollout trajectories with per-step
+        decision/operation panels on top; pool / generated / real sample
+        grids with critic-score stamps below."""
+        from exposure_tpu.utils.viz import (
+            draw_score,
+            draw_step_panels,
+        )
         cfg = self.cfg
         n = min(cfg.num_samples, 16)
         raw, _ = self.fake_provider.get_next_batch(n)
         traj = self.run_rollout(raw, key=jax.random.PRNGKey(it))
         steps = np.asarray(traj.images)  # [K, n, S, S, C]
+        k_steps = steps.shape[0]
+
         rows = []
-        for b in range(min(n, 8)):
-            row = [np.asarray(raw[b])] + [steps[k, b]
-                                          for k in range(steps.shape[0])]
-            rows.append(np.hstack([np.pad(r, ((1, 1), (1, 1), (0, 0)),
-                                          constant_values=1.0)
-                                   for r in row]))
+        for b in range(min(n, 4)):
+            img_row = [np.asarray(raw[b])] + [steps[k, b]
+                                              for k in range(k_steps)]
+            blank = np.ones_like(img_row[0])
+            dec_row, op_row = [blank], [blank]
+            for k in range(k_steps):
+                dbg = {'pdf': np.asarray(traj.pdfs[k, b]),
+                       'filter_id': int(traj.filter_ids[k, b]),
+                       'filter_parameters':
+                           np.asarray(traj.params[k, b])}
+                nparam = self.filters[dbg['filter_id']] \
+                    .get_num_filter_parameters()
+                dbg['filter_parameters'] = dbg['filter_parameters'][:nparam]
+                dec, op = draw_step_panels(self.filters, dbg,
+                                           size=img_row[0].shape[0])
+                dec_row.append(dec)
+                op_row.append(op)
+
+            def hcat(row):
+                return np.hstack([np.pad(r, ((1, 1), (1, 1), (0, 0)),
+                                         constant_values=1.0) for r in row])
+            rows.append(np.vstack([hcat(img_row), hcat(dec_row),
+                                   hcat(op_row)]))
         upper = np.vstack(rows)
 
         pool_imgs = np.asarray(jax.device_get(self.pool.images))[:n]
         real_imgs, _ = self.real_provider.get_next_batch(n)
         final = steps[-1]
         per_row = 8
-        def grid(x):
+
+        def grid(x, stamp=True):
             x = np.asarray(x)[:per_row * (len(x) // per_row)]
             if len(x) == 0:
                 return None
+            if stamp and cfg.vis_draw_critic_scores:
+                scores = self.critic_scores(x)
+                x = np.stack([draw_score(im, s, cfg.gan)
+                              for im, s in zip(x, scores)])
             return make_image_grid(x, per_row=per_row)
-        lowers = [g for g in (grid(pool_imgs), grid(final), grid(real_imgs))
-                  if g is not None]
+
+        lowers = [g for g in (grid(pool_imgs), grid(final),
+                              grid(real_imgs)) if g is not None]
         lower = np.vstack(lowers)
         w = max(upper.shape[1], lower.shape[1])
+
         def padw(x):
             return np.pad(x, ((0, 0), (0, w - x.shape[1]), (0, 0)),
                           constant_values=1.0)
