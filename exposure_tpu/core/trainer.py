@@ -83,8 +83,7 @@ class Trainer:
 
         self.mesh = data_parallel_mesh(num_devices)
         self.n_dev = self.mesh.shape[DATA_AXIS]
-        print('# exposure_tpu: mesh %s (%d devices)' %
-              (self.mesh.shape, self.n_dev))
+        print('# exposure_tpu: %d-device data-parallel mesh' % self.n_dev)
 
         self.filters, self.policy, self.critic, self.value = build_models(cfg)
         self.state, self.tx = init_train_state(
