@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 
-def build_pipeline(batch, res, use_pallas=True):
+def build_pipeline(batch, res, use_pallas=True, u8=False):
     from exposure_tpu.core.rollout import rollout
     from exposure_tpu.core.trainer import build_models, init_train_state
     from exposure_tpu.ops.chain import apply_filter_chain
@@ -38,8 +38,12 @@ def build_pipeline(batch, res, use_pallas=True):
     state, _ = init_train_state(cfg, policy, critic, value, seed=0)
 
     def pipeline(gen_params, high_res, key):
+        if u8:
+            proxy_src = high_res.astype(jnp.float32) * (1.0 / 255.0)
+        else:
+            proxy_src = high_res
         proxy = jax.image.resize(
-            high_res, (batch, cfg.source_img_size, cfg.source_img_size, 3),
+            proxy_src, (batch, cfg.source_img_size, cfg.source_img_size, 3),
             method='linear')
         traj = rollout(policy, gen_params, proxy, key, cfg=cfg,
                        filters=filters, is_train=0)
@@ -47,14 +51,16 @@ def build_pipeline(batch, res, use_pallas=True):
             out = pallas_apply_filter_chain(high_res, traj.filter_ids,
                                             traj.params, filters)
         else:
-            out = apply_filter_chain(high_res, traj.filter_ids, traj.params,
-                                     filters)
+            out = apply_filter_chain(proxy_src if u8 else high_res,
+                                     traj.filter_ids, traj.params, filters)
         return out
 
     fn = jax.jit(pipeline)
     rng = jax.random.PRNGKey(0)
     imgs = jax.random.uniform(rng, (batch, res, res, 3),
                               jnp.float32) * 0.8
+    if u8:
+        imgs = (imgs * 255).astype(jnp.uint8)
     return fn, state.gen_params, imgs, rng
 
 
@@ -63,9 +69,10 @@ def main():
         if '--batch' in sys.argv else 64
     res = 512
     use_pallas = '--no-pallas' not in sys.argv
+    u8 = '--u8' in sys.argv
     n_chips = len(jax.devices())
 
-    fn, params, imgs, rng = build_pipeline(batch, res, use_pallas)
+    fn, params, imgs, rng = build_pipeline(batch, res, use_pallas, u8)
 
     # warmup / compile
     out = fn(params, imgs, rng)

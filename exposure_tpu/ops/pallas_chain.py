@@ -157,9 +157,17 @@ def planar_branches(filters):
 def _chain_kernel(ids_ref, params_ref, img_ref, out_ref, *, branches,
                   num_steps, max_p):
     bi = pl.program_id(0)
-    r = img_ref[0, 0]
-    g = img_ref[0, 1]
-    b = img_ref[0, 2]
+    quantized = img_ref.dtype == jnp.uint8
+    if quantized:
+        # Serving fast path: fixed-point [0,1] in uint8 — 4x less HBM
+        # traffic than f32 on a bandwidth-bound kernel; all math in f32.
+        r = img_ref[0, 0].astype(jnp.float32) * (1.0 / 255.0)
+        g = img_ref[0, 1].astype(jnp.float32) * (1.0 / 255.0)
+        b = img_ref[0, 2].astype(jnp.float32) * (1.0 / 255.0)
+    else:
+        r = img_ref[0, 0]
+        g = img_ref[0, 1]
+        b = img_ref[0, 2]
     for k in range(num_steps):
         fid = ids_ref[bi, k]
         # SMEM supports scalar loads only: read the packed parameter row
@@ -174,6 +182,11 @@ def _chain_kernel(ids_ref, params_ref, img_ref, out_ref, *, branches,
 
         r, g, b = jax.lax.switch(fid, [make_branch(fn) for fn in branches],
                                  (r, g, b))
+    if quantized:
+        def q(x):
+            return jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0).astype(
+                jnp.uint8)
+        r, g, b = q(r), q(g), q(b)
     out_ref[0, 0] = r
     out_ref[0, 1] = g
     out_ref[0, 2] = b
@@ -236,11 +249,13 @@ def pallas_apply_filter_chain(img, filter_ids, packed_params, filters,
 
     b, h, w, c = img.shape
     assert c == 3
+    sublane = 32 if img.dtype == jnp.uint8 else 8
     th, tw = tile
-    th = min(th, _round_up(h, 8))
+    th = min(_round_up(th, sublane), _round_up(h, sublane))
     tw = min(tw, _round_up(w, 128))
     hp, wp = _round_up(h, th), _round_up(w, tw)
     planar = jnp.transpose(img, (0, 3, 1, 2))  # [B, 3, H, W]
+    # gamma/pow sees max(x, 1e-3), so zero padding is numerically safe
     planar = jnp.pad(planar, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
 
     outs = []

@@ -74,6 +74,21 @@ def test_pallas_all_identity_is_noop(rng, cfg, filters):
     np.testing.assert_allclose(np.asarray(got), np.asarray(img), atol=1e-6)
 
 
+def test_uint8_serving_path(rng, cfg, filters):
+    # fixed-point [0,1] uint8 I/O must match the f32 chain within 1 LSB
+    img8 = (rng.rand(1, 64, 128, 3) * 255).astype(np.uint8)
+    ids, params = random_trajectory(rng, filters, 3, 1)
+    got = pallas_apply_filter_chain(jnp.asarray(img8), ids, params,
+                                    filters, tile=(32, 128), interpret=True)
+    assert got.dtype == jnp.uint8
+    f32 = jnp.asarray(img8.astype(np.float32) / 255.0)
+    expected = apply_filter_chain(f32, ids, params, filters)
+    expected8 = np.round(np.clip(np.asarray(expected), 0, 1) * 255.0)
+    diff = np.abs(np.asarray(got).astype(np.int32) -
+                  expected8.astype(np.int32))
+    assert diff.max() <= 1, diff.max()
+
+
 def test_every_single_filter_matches(rng, cfg, filters):
     # one-step chains isolating each filter
     img = jnp.asarray(rng.rand(1, 32, 128, 3).astype(np.float32) * 0.9)
