@@ -66,10 +66,12 @@ def build_pipeline(batch, res, use_pallas=True, u8=False):
 
 def main():
     batch = int(sys.argv[sys.argv.index('--batch') + 1]) \
-        if '--batch' in sys.argv else 64
+        if '--batch' in sys.argv else 256
     res = 512
     use_pallas = '--no-pallas' not in sys.argv
-    u8 = '--u8' in sys.argv
+    # Default: real serving I/O — standard 8-bit images in/out (all filter
+    # math in f32 on device); pass --f32 for a float32-I/O pipeline.
+    u8 = '--f32' not in sys.argv
     n_chips = len(jax.devices())
 
     fn, params, imgs, rng = build_pipeline(batch, res, use_pallas, u8)
@@ -93,7 +95,8 @@ def main():
     img_per_sec = batch * iters / best_dt
     target = 1250.0 * n_chips
     print(json.dumps({
-        'metric': '512px_images_per_sec_5step_inference',
+        'metric': '512px_images_per_sec_5step_inference%s' %
+                  ('' if not u8 else '_u8io'),
         'value': round(img_per_sec, 2),
         'unit': 'images/sec',
         'vs_baseline': round(img_per_sec / target, 4),

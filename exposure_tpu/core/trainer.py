@@ -271,6 +271,16 @@ class Trainer:
         logits = self._score_fn(self.state.crit_params, jnp.asarray(images))
         return np.asarray(logits) - float(self.state.ema.value)
 
+    def critic_gradients(self, images):
+        """Per-pixel d(critic logit)/d(image), display-scaled (reference
+        fake_gradients net.py:169-171 + gradient_processor net.py:409-418:
+        10*grads + 0.5 for WGAN)."""
+        if getattr(self, '_grad_fn', None) is None:
+            self._grad_fn = jax.jit(jax.grad(
+                lambda x, p: jnp.sum(self.critic.apply(p, x))))
+        grads = self._grad_fn(jnp.asarray(images), self.state.crit_params)
+        return np.clip(10.0 * np.asarray(grads) + 0.5, 0, 1)
+
     def visualize(self, it):
         """Write the periodic visualization grid (reference
         net.py:420-552): rollout trajectories with per-step
@@ -287,11 +297,16 @@ class Trainer:
         steps = np.asarray(traj.images)  # [K, n, S, S, C]
         k_steps = steps.shape[0]
 
+        # critic-gradient images for every (sample, step) at once
+        flat_steps = steps.reshape(-1, *steps.shape[2:])
+        grad_imgs = self.critic_gradients(flat_steps).reshape(steps.shape)
+
         rows = []
         for b in range(min(n, 4)):
             img_row = [np.asarray(raw[b])] + [steps[k, b]
                                               for k in range(k_steps)]
             blank = np.ones_like(img_row[0])
+            grad_row = [blank] + [grad_imgs[k, b] for k in range(k_steps)]
             dec_row, op_row = [blank], [blank]
             for k in range(k_steps):
                 dbg = {'pdf': np.asarray(traj.pdfs[k, b]),
@@ -309,8 +324,8 @@ class Trainer:
             def hcat(row):
                 return np.hstack([np.pad(r, ((1, 1), (1, 1), (0, 0)),
                                          constant_values=1.0) for r in row])
-            rows.append(np.vstack([hcat(img_row), hcat(dec_row),
-                                   hcat(op_row)]))
+            rows.append(np.vstack([hcat(img_row), hcat(grad_row),
+                                   hcat(dec_row), hcat(op_row)]))
         upper = np.vstack(rows)
 
         pool_imgs = np.asarray(jax.device_get(self.pool.images))[:n]

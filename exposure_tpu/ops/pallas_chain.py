@@ -161,9 +161,12 @@ def _chain_kernel(ids_ref, params_ref, img_ref, out_ref, *, branches,
     if quantized:
         # Serving fast path: fixed-point [0,1] in uint8 — 4x less HBM
         # traffic than f32 on a bandwidth-bound kernel; all math in f32.
-        r = img_ref[0, 0].astype(jnp.float32) * (1.0 / 255.0)
-        g = img_ref[0, 1].astype(jnp.float32) * (1.0 / 255.0)
-        b = img_ref[0, 2].astype(jnp.float32) * (1.0 / 255.0)
+        # Mosaic has no direct u8<->f32 cast; hop through int32.
+        def dq(x):
+            return x.astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
+        r = dq(img_ref[0, 0])
+        g = dq(img_ref[0, 1])
+        b = dq(img_ref[0, 2])
     else:
         r = img_ref[0, 0]
         g = img_ref[0, 1]
@@ -185,7 +188,7 @@ def _chain_kernel(ids_ref, params_ref, img_ref, out_ref, *, branches,
     if quantized:
         def q(x):
             return jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0).astype(
-                jnp.uint8)
+                jnp.int32).astype(jnp.uint8)
         r, g, b = q(r), q(g), q(b)
     out_ref[0, 0] = r
     out_ref[0, 1] = g

@@ -74,6 +74,17 @@ def test_evaluator_full_resolution(trained, tmp_path):
         assert abs(d['pdf'].sum() - 1.0) < 1e-3
 
 
+def test_visualization_grid(trained):
+    cfg, trainer, root = trained
+    trainer.visualize(7)
+    path = os.path.join(trainer.image_dir, '000007.png')
+    assert os.path.exists(path)
+    import imageio.v2 as imageio
+    img = imageio.imread(path)
+    assert img.ndim == 3 and img.shape[2] == 3
+    assert img.shape[0] > 100 and img.shape[1] > 100
+
+
 def test_chain_replay_matches_lowres_rollout(trained):
     # White-box consistency at trajectory level: replaying the recorded
     # chain on the 64x64 proxy must reproduce the rollout's final image.
