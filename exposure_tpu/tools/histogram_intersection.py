@@ -98,6 +98,14 @@ def read_images(src, tag=None, fold=None, data_root='.', seed=None):
     return images
 
 
+def compare_image_sets(images_a, images_b):
+    """Histogram intersections between two in-memory image lists/arrays
+    ([N, H, W, 3] float in [0, 1]); returns the 3 per-statistic values."""
+    hists_a, _ = get_histograms(list(np.asarray(images_a)))
+    hists_b, _ = get_histograms(list(np.asarray(images_b)))
+    return [hist_intersection(a, b) for a, b in zip(hists_a, hists_b)]
+
+
 def compare_dirs(output_src, target_src, fold=None, seed=None):
     output_imgs = read_images(output_src, seed=seed)
     target_imgs = read_images(target_src, fold=fold, seed=seed)
