@@ -149,7 +149,9 @@ def build_outer_step(cfg, policy, critic_mod, value_mod, filters, tx, mesh,
             emd = jnp.zeros(())
             cgn = jnp.zeros(())
 
-        state = state.replace(step=state.step + 1)
+        # NOTE: state.step is the OUTER iteration counter and is advanced
+        # by the Trainer once per iteration (an iteration may be composed
+        # of several compiled calls).
         terminated_frac = pmean(jnp.mean(
             pool.terminated_mask().astype(jnp.float32)))
         avg_traj = pmean(pool.average_trajectory())

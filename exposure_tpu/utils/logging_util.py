@@ -15,8 +15,8 @@ import time
 class Tee:
     """Duplicate stdout+stderr into a log file (reference util.py:246-268)."""
 
-    def __init__(self, name):
-        self.file = open(name, 'w')
+    def __init__(self, name, mode='a'):
+        self.file = open(name, mode)
         self.stdout = sys.stdout
         self.stderr = sys.stderr
         sys.stdout = self
