@@ -1,7 +1,8 @@
 """Flagship config: unpaired FiveK RAW -> expert-C retouching.
 
-Knob names and values carry parity with the reference's config_example.py
-(all file:line cites are into /root/reference/config_example.py); the
+Knob NAMES and VALUES carry parity with the reference's config_example.py
+(cited per group below, into /root/reference/config_example.py) so users
+of the reference can bring their configs across unchanged; the
 provider/optimizer entries are TPU-native equivalents."""
 
 from exposure_tpu.data import ArtistDataProvider, FiveKDataProvider
@@ -19,145 +20,121 @@ from exposure_tpu.utils import Dict
 
 cfg = Dict()
 
-###########################################################################
-# Filter Parameters (reference config_example.py:19-39)
-###########################################################################
-cfg.filters = [
-    ExposureFilter, GammaFilter, ImprovedWhiteBalanceFilter,
-    SaturationPlusFilter, ToneFilter, ContrastFilter, WNBFilter, ColorFilter
-]
-cfg.curve_steps = 8
-cfg.gamma_range = 3
-cfg.exposure_range = 3.5
-cfg.wb_range = 1.1
-cfg.color_curve_range = (0.90, 1.10)
-cfg.lab_curve_range = (0.90, 1.10)
-cfg.tone_curve_range = (0.5, 2)
+# --- filter bank (reference config_example.py:19-39) ---------------------
+cfg.update(
+    filters=[
+        ExposureFilter, GammaFilter, ImprovedWhiteBalanceFilter,
+        SaturationPlusFilter, ToneFilter, ContrastFilter, WNBFilter,
+        ColorFilter,
+    ],
+    curve_steps=8,
+    gamma_range=3,
+    exposure_range=3.5,
+    wb_range=1.1,
+    color_curve_range=(0.90, 1.10),
+    lab_curve_range=(0.90, 1.10),
+    tone_curve_range=(0.5, 2),
+    # spatial masking is a dormant capability in the shipped setup
+    masking=False,
+    minimum_strength=0.3,
+    maximum_sharpness=1,
+    clamp=False,
+)
 
-cfg.masking = False
-cfg.minimum_strength = 0.3
-cfg.maximum_sharpness = 1
-cfg.clamp = False
+# --- RL (reference config_example.py:41-65) -------------------------------
+cfg.update(
+    critic_logit_multiplier=0.05,
+    discount_factor=1.0,
+    filter_usage_penalty=1.0,
+    use_TD=True,
+    test_random_walk=False,
+    replay_memory_size=128,
+    maximum_trajectory_length=7,
+    over_length_keep_prob=0.5,
+    all_reward=1.0,
+    img_include_states=True,
+    exploration=0.05,
+    exploration_penalty=0.05,
+    early_stop_penalty=1.0,
+    test_steps=5,
+)
 
-###########################################################################
-# RL Parameters (reference config_example.py:41-65)
-###########################################################################
-cfg.critic_logit_multiplier = 0.05
-cfg.discount_factor = 1.0
-cfg.filter_usage_penalty = 1.0
-cfg.use_TD = True
-cfg.test_random_walk = False
-cfg.replay_memory_size = 128
-cfg.maximum_trajectory_length = 7
-cfg.over_length_keep_prob = 0.5
-cfg.all_reward = 1.0
-cfg.img_include_states = True
-cfg.exploration = 0.05
-cfg.exploration_penalty = 0.05
-cfg.early_stop_penalty = 1.0
+# --- networks (reference config_example.py:67-80) -------------------------
+cfg.update(
+    source_img_size=64,
+    base_channels=32,
+    dropout_keep_prob=0.5,
+    share_feed_dict=True,
+    shared_feature_extractor=True,
+    fc1_size=128,
+    bnw=False,
+    feature_extractor_dims=4096,
+)
 
-###########################################################################
-# CNN Parameters (reference config_example.py:67-80)
-###########################################################################
-cfg.source_img_size = 64
-cfg.base_channels = 32
-cfg.dropout_keep_prob = 0.5
-cfg.share_feed_dict = True
-cfg.shared_feature_extractor = True
-cfg.fc1_size = 128
-cfg.bnw = False
-cfg.feature_extractor_dims = 4096
-
-###########################################################################
-# GAN Parameters (reference config_example.py:82-110)
-###########################################################################
-cfg.use_penalty = True
-cfg.gan = 'w'
-cfg.giters = 1
-cfg.gradient_penalty_lambda = 10
-cfg.citers = 5
-cfg.critic_initialization = 10
-cfg.clamp_critic = 0.01
-cfg.median_filter_size = 101
-
-cfg.z_type = 'uniform'
-cfg.z_dim_per_filter = 16
+# --- GAN (reference config_example.py:82-110) -----------------------------
+cfg.update(
+    use_penalty=True,
+    gan='w',           # 'w' (WGAN-GP) or 'ls' (LSGAN)
+    giters=1,
+    citers=5,
+    gradient_penalty_lambda=10,
+    critic_initialization=10,
+    clamp_critic=0.01,
+    median_filter_size=101,
+    z_type='uniform',
+    z_dim_per_filter=16,
+)
 cfg.num_state_dim = 3 + len(cfg.filters)
 cfg.z_dim = 3 + len(cfg.filters) * cfg.z_dim_per_filter
-cfg.test_steps = 5
-
 cfg.real_img_size = 64
 cfg.real_img_channels = 1 if cfg.bnw else 3
 
-###########################################################################
-# Training (reference config_example.py:123-165)
-###########################################################################
-cfg.supervised = False
-cfg.batch_size = 64
-multiplier = 2
-cfg.max_iter_step = int(10000 * multiplier)
-
-lr_decay = 0.1
-base_lr = 5e-5
-segments = 3
-generator_lr_mul = 0.3
-cfg.parameter_lr_mul = 1
-cfg.value_lr_mul = 10
-critic_lr_mul = 1
-
-
-def g_lr_callback(t):
-    return generator_lr_mul * base_lr * lr_decay ** (
-        1.0 * t * segments / cfg.max_iter_step)
-
-
-def c_lr_callback(t):
-    return critic_lr_mul * base_lr * lr_decay ** (
-        1.0 * t * segments / cfg.max_iter_step)
-
-
-cfg.lr_g = g_lr_callback
-cfg.lr_c = c_lr_callback
-
-# Adam moments (reference config_example.py:158-161)
-cfg.adam_beta1 = 0.5
-cfg.adam_beta2 = 0.9
-
-cfg.num_samples = 64
+# --- training schedule (reference config_example.py:123-165) --------------
+_multiplier = 2
+cfg.update(
+    supervised=False,
+    batch_size=64,
+    max_iter_step=int(10000 * _multiplier),
+    parameter_lr_mul=1,
+    value_lr_mul=10,
+    adam_beta1=0.5,
+    adam_beta2=0.9,
+    num_samples=64,
+    summary_freq=100,
+)
 cfg.img_channels = 1 if cfg.bnw else 3
-cfg.summary_freq = 100
 
-##################################
-# Debugging Outputs (reference config_example.py:167-173)
-##################################
-cfg.vis_draw_critic_scores = True
-cfg.vis_step_test = False
-cfg.realtime_vis = False
-cfg.write_image_interval = int(200 * multiplier)
+_lr_decay, _base_lr, _segments = 0.1, 5e-5, 3
+_generator_lr_mul, _critic_lr_mul = 0.3, 1
 
-###########################################################################
-# Dataset Parameters (reference config_example.py:175-198)
-###########################################################################
+
+def _decayed(mul):
+    def schedule(t):
+        return mul * _base_lr * _lr_decay ** (
+            1.0 * t * _segments / cfg.max_iter_step)
+    return schedule
+
+
+cfg.lr_g = _decayed(_generator_lr_mul)
+cfg.lr_c = _decayed(_critic_lr_mul)
+
+# --- observability (reference config_example.py:167-173) ------------------
+cfg.update(
+    vis_draw_critic_scores=True,
+    vis_step_test=False,
+    realtime_vis=False,
+    write_image_interval=int(200 * _multiplier),
+)
+
+# --- datasets (reference config_example.py:175-198) -----------------------
 cfg.fake_data_provider = lambda: FiveKDataProvider(
-    raw=True,
-    bnw=cfg.bnw,
-    output_size=64,
-    default_batch_size=cfg.batch_size,
-    augmentation=0.3,
-    set_name='2k_train')
+    set_name='2k_train', raw=True, bnw=cfg.bnw, output_size=64,
+    default_batch_size=cfg.batch_size, augmentation=0.3)
 
 cfg.fake_data_provider_test = lambda: FiveKDataProvider(
-    set_name='u_test',
-    raw=True,
-    bnw=cfg.bnw,
-    output_size=64,
-    default_batch_size=cfg.batch_size,
-    augmentation=0.0)
+    set_name='u_test', raw=True, bnw=cfg.bnw, output_size=64,
+    default_batch_size=cfg.batch_size, augmentation=0.0)
 
 cfg.real_data_provider = lambda: ArtistDataProvider(
-    augmentation=1.0,
-    name='FiveK_C',
-    output_size=64,
-    bnw=cfg.bnw,
-    default_batch_size=cfg.batch_size,
-    set_name='2k_target')
+    set_name='2k_target', name='FiveK_C', bnw=cfg.bnw, output_size=64,
+    default_batch_size=cfg.batch_size, augmentation=1.0)
