@@ -299,6 +299,15 @@ class Trainer:
         logits = self._score_fn(self.state.crit_params, jnp.asarray(images))
         return np.asarray(logits) - float(self.state.ema.value)
 
+    def state_values(self, images, states):
+        """V(s) for host batches (reference new_value, net.py:76-97)."""
+        if getattr(self, '_value_fn', None) is None:
+            self._value_fn = jax.jit(
+                lambda p, x, s: self.value.apply(p, x, s)[:, 0])
+        return np.asarray(self._value_fn(self.state.val_params,
+                                         jnp.asarray(images),
+                                         jnp.asarray(states)))
+
     def critic_gradients(self, images):
         """Per-pixel d(critic logit)/d(image), display-scaled (reference
         fake_gradients net.py:169-171 + gradient_processor net.py:409-418:
@@ -325,14 +334,29 @@ class Trainer:
         steps = np.asarray(traj.images)  # [K, n, S, S, C]
         k_steps = steps.shape[0]
 
-        # critic-gradient images for every (sample, step) at once
+        # critic-gradient images, scores and values for every
+        # (sample, step) at once
         flat_steps = steps.reshape(-1, *steps.shape[2:])
         grad_imgs = self.critic_gradients(flat_steps).reshape(steps.shape)
+        scores = self.critic_scores(flat_steps).reshape(steps.shape[:2])
+        flat_states = np.asarray(traj.states).reshape(-1,
+                                                      cfg.num_state_dim)
+        values = self.state_values(flat_steps, flat_states).reshape(
+            steps.shape[:2])
+        in_scores = self.critic_scores(np.asarray(raw))
+
+        from exposure_tpu.utils.viz import draw_value_reward_score
 
         rows = []
         for b in range(min(n, 4)):
-            img_row = [np.asarray(raw[b])] + [steps[k, b]
-                                              for k in range(k_steps)]
+            img_row = [np.asarray(raw[b])]
+            for k in range(k_steps):
+                prev = in_scores[b] if k == 0 else scores[k - 1, b]
+                reward = (scores[k, b] - prev) * \
+                    cfg.critic_logit_multiplier
+                img_row.append(draw_value_reward_score(
+                    steps[k, b], values[k, b], reward, scores[k, b],
+                    cfg.gan))
             blank = np.ones_like(img_row[0])
             grad_row = [blank] + [grad_imgs[k, b] for k in range(k_steps)]
             dec_row, op_row = [blank], [blank]
