@@ -22,9 +22,15 @@ def _to_host(tree):
 def save_checkpoint(directory, state, step, keep=1):
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, 'model.ckpt-%d.msgpack' % step)
-    with open(path, 'wb') as f:
+    # crash safety: write to a temp file and atomically rename, so a kill
+    # mid-write can never leave a truncated checkpoint in place (and only
+    # then prune older ones).
+    tmp = path + '.tmp'
+    with open(tmp, 'wb') as f:
         f.write(serialization.to_bytes(_to_host(state)))
-    # prune old checkpoints (reference keeps max_to_keep=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
     ckpts = sorted(
         (p for p in os.listdir(directory)
          if re.match(r'model\.ckpt-\d+\.msgpack$', p)),
@@ -43,12 +49,26 @@ def latest_checkpoint_step(directory):
 
 
 def restore_checkpoint(directory, template_state, step=None):
-    """Restore into the structure of ``template_state``."""
-    if step is None:
-        step = latest_checkpoint_step(directory)
-        if step is None:
+    """Restore into the structure of ``template_state``; if the newest
+    checkpoint is unreadable, fall back to older ones."""
+    if step is not None:
+        candidates = [step]
+    else:
+        candidates = sorted(
+            (int(re.findall(r'\d+', p)[0]) for p in os.listdir(directory)
+             if re.match(r'model\.ckpt-\d+\.msgpack$', p)),
+            reverse=True)
+        if not candidates:
             raise FileNotFoundError('no checkpoint in %s' % directory)
-    path = os.path.join(directory, 'model.ckpt-%d.msgpack' % step)
-    with open(path, 'rb') as f:
-        data = f.read()
-    return serialization.from_bytes(template_state, data), step
+    last_err = None
+    for s in candidates:
+        path = os.path.join(directory, 'model.ckpt-%d.msgpack' % s)
+        try:
+            with open(path, 'rb') as f:
+                data = f.read()
+            return serialization.from_bytes(template_state, data), s
+        except (ValueError, OSError) as e:
+            last_err = e
+            print('# checkpoint %s unreadable (%s), trying older' %
+                  (path, e))
+    raise last_err
