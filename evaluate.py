@@ -23,6 +23,9 @@ def evaluate():
                         help='checkpoint step (default: latest)')
     parser.add_argument('--output-dir', default='./outputs')
     parser.add_argument('--no-step-by-step', action='store_true')
+    parser.add_argument('--batched', action='store_true',
+                        help='batch inputs by resolution (one rollout + '
+                             'one fused replay per resolution group)')
     args = parser.parse_args()
 
     snapshot = os.path.join('models', args.config, args.model_name,
@@ -38,8 +41,12 @@ def evaluate():
 
     from exposure_tpu.core.evaluator import Evaluator
     ev = Evaluator(cfg, ckpt=args.ckpt)
-    ev.eval(spec_files=args.images, output_dir=args.output_dir,
-            step_by_step=not args.no_step_by_step)
+    if args.batched:
+        ev.eval_batched(spec_files=args.images,
+                        output_dir=args.output_dir)
+    else:
+        ev.eval(spec_files=args.images, output_dir=args.output_dir,
+                step_by_step=not args.no_step_by_step)
 
 
 if __name__ == '__main__':

@@ -224,6 +224,15 @@ class Trainer:
 
             if it % 10 == 0:
                 m = jax.device_get(metrics)
+                if not all(np.isfinite(v) for v in m):
+                    # failure detection: surface divergence immediately
+                    # with a diagnostic dump instead of training on NaNs
+                    dump = os.path.join(self.dir,
+                                        'diverged-%06d.msgpack' % it)
+                    save_checkpoint(self.dir, self.state, it, keep=10)
+                    raise FloatingPointError(
+                        'non-finite training metrics at iter %d: %s '
+                        '(state dumped near %s)' % (it, m, dump))
                 g_pool.add(m.g_loss)
                 v_pool.add(m.v_loss)
                 emd_pool.add(m.emd)

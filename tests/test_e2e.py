@@ -85,6 +85,27 @@ def test_visualization_grid(trained):
     assert img.shape[0] > 100 and img.shape[1] > 100
 
 
+def test_evaluator_batched(trained, tmp_path):
+    cfg, trainer, root = trained
+    rng = np.random.RandomState(1)
+    paths = []
+    for i, shape in enumerate([(96, 128, 3), (96, 128, 3), (64, 64, 3)]):
+        p = str(tmp_path / ('in%d.png' % i))
+        write_image(p, rng.rand(*shape).astype(np.float32))
+        paths.append(p)
+    from exposure_tpu.core.evaluator import Evaluator
+    ev = Evaluator(cfg, model_root=str(root))
+    out_dir = str(tmp_path / 'outs')
+    results = ev.eval_batched(paths, output_dir=out_dir)
+    assert len(results) == 3
+    for i, p in enumerate(paths):
+        base = os.path.basename(p)
+        assert os.path.exists(os.path.join(out_dir,
+                                           base + '.retouched.png'))
+    shapes = sorted(r['retouched'].shape for r in results)
+    assert shapes == [(64, 64, 3), (96, 128, 3), (96, 128, 3)]
+
+
 def test_chain_replay_matches_lowres_rollout(trained):
     # White-box consistency at trajectory level: replaying the recorded
     # chain on the 64x64 proxy must reproduce the rollout's final image.
