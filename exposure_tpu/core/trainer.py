@@ -188,38 +188,35 @@ class Trainer:
             if profile_dir and it == 30:
                 jax.profiler.stop_trace()
 
-            # Any (giters, citers) schedule (iter-0 warmup, citers bursts)
-            # is composed from three small compiled programs — remote
-            # compiles are expensive, per-call dispatch is not.
+            # Every (giters, citers) schedule (normal iters, the iter-0
+            # warmup, citers bursts) is composed from just TWO compiled
+            # programs — a generator-phase step and a critic-phase step.
+            # Remote compiles cost minutes; per-call dispatch costs
+            # microseconds.
             it_key = jax.random.fold_in(base_key, it)
             args = (self.fake_images, self.real_images)
 
-            def run(step, sub, lr_g_, citers_scale=1.0):
+            def run(step, sub, lr_g_):
                 return step(self.state, self.pool, *args,
                             jax.random.fold_in(it_key, sub),
                             jnp.float32(lr_g_), jnp.float32(lr_c),
                             jnp.float32(progress))
 
-            if giters == cfg.giters and citers == cfg.citers:
-                self.state, self.pool, metrics = run(
-                    self._get_step(cfg.giters, cfg.citers), 0, lr_g)
-            else:
-                g_step = self._get_step(cfg.giters, 0)
-                c_step = self._get_step(0, cfg.citers)
-                sub = 0
-                for _ in range(giters // cfg.giters):
-                    self.state, self.pool, metrics = run(g_step, sub, lr_g)
-                    sub += 1
-                c_metrics = metrics
-                for _ in range(max(citers // cfg.citers, 1)):
-                    self.state, self.pool, c_metrics = run(c_step, sub,
-                                                           lr_g)
-                    sub += 1
-                metrics = metrics._replace(
-                    emd=c_metrics.emd,
-                    critic_gradient_norm=c_metrics.critic_gradient_norm,
-                    pool_avg_trajectory=c_metrics.pool_avg_trajectory,
-                    pool_terminated_frac=c_metrics.pool_terminated_frac)
+            g_step = self._get_step(cfg.giters, 0)
+            c_step = self._get_step(0, cfg.citers)
+            sub = 0
+            for _ in range(max(giters // cfg.giters, 1)):
+                self.state, self.pool, metrics = run(g_step, sub, lr_g)
+                sub += 1
+            c_metrics = metrics
+            for _ in range(max(citers // cfg.citers, 1)):
+                self.state, self.pool, c_metrics = run(c_step, sub, lr_g)
+                sub += 1
+            metrics = metrics._replace(
+                emd=c_metrics.emd,
+                critic_gradient_norm=c_metrics.critic_gradient_norm,
+                pool_avg_trajectory=c_metrics.pool_avg_trajectory,
+                pool_terminated_frac=c_metrics.pool_terminated_frac)
             self.state = self.state.replace(step=jnp.int32(it + 1))
 
             if it % 10 == 0:
