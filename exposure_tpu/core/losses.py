@@ -57,29 +57,45 @@ class GVLossAux(NamedTuple):
     pdf: jnp.ndarray
 
 
+def supervised_distance(images, ground_truth):
+    """Default supervised scorer: per-sample MSE to the paired ground
+    truth (lower is better; the reward negates it, net.py:100-102)."""
+    return jnp.mean((images - ground_truth) ** 2, axis=(1, 2, 3))[:, None]
+
+
 def generator_value_loss(params, crit_params, policy, critic, value,
                          batch_images, batch_states, key, is_train,
-                         progress, cfg, filters):
+                         progress, cfg, filters, ground_truth=None):
     """Joint scalar loss for the generator (actor) + value optimizers.
 
     Args:
       params: {'gen': policy variables, 'val': value variables} — the
         differentiated tree.
       crit_params: critic variables (constants here).
+      ground_truth: paired targets, supervised mode only.
     Returns:
       (g_loss + v_loss, GVLossAux)
     """
     gen_params = params['gen']
     val_params = params['val']
+    supervised = bool(cfg.get('supervised', False))
 
     out = agent_step(policy, gen_params, batch_images, batch_states,
                      key=key, is_train=is_train, progress=progress,
                      cfg=cfg, filters=filters)
 
-    # Critic parameters are constants; activations stay differentiable so
-    # the pathwise reward gradient reaches the generator (net.py:108-110).
-    fake_logit = critic.apply(_sg_tree(crit_params), out.image)
-    input_logit = critic.apply(_sg_tree(crit_params), batch_images)
+    if supervised:
+        assert ground_truth is not None, (
+            'supervised mode requires paired ground truth')
+        scorer = cfg.get('supervised_scorer', None) or supervised_distance
+        fake_logit = scorer(out.image, ground_truth)
+        input_logit = scorer(batch_images, ground_truth)
+    else:
+        # Critic parameters are constants; activations stay
+        # differentiable so the pathwise reward gradient reaches the
+        # generator (net.py:108-110).
+        fake_logit = critic.apply(_sg_tree(crit_params), out.image)
+        input_logit = critic.apply(_sg_tree(crit_params), batch_images)
 
     old_value = value.apply(val_params, batch_images, batch_states)
     # Value *parameters* are blocked in the generator path (theta_g does
@@ -93,8 +109,8 @@ def generator_value_loss(params, crit_params, policy, critic, value,
     new_value_for_g = new_value_for_g * (1.0 - clear_final)
 
     all_mask = cfg.all_reward + (1 - cfg.all_reward) * stopped
-    if cfg.get('supervised', False):
-        # Supervised mode (net.py:100-102): the "critic" scores distance
+    if supervised:
+        # Supervised mode (net.py:100-102): the scorer measures distance
         # to ground truth; reward is its negation.
         raw_reward = all_mask * (-fake_logit)
     elif cfg.gan == 'ls':

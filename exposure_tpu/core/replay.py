@@ -39,12 +39,16 @@ from exposure_tpu.utils.ops import STATE_STEP_DIM, STATE_STOPPED_DIM
 class PoolState(struct.PyTreeNode):
     images: Any  # [P, S, S, C]
     states: Any  # [P, D]
+    # paired ground truth for supervised mode (reference
+    # replay_memory.py:23-27, 124-127); None when unsupervised
+    ground_truth: Any = None
 
     @classmethod
-    def create(cls, images, num_state_dim):
+    def create(cls, images, num_state_dim, ground_truth=None):
         p = images.shape[0]
         return cls(images=images,
-                   states=jnp.zeros((p, num_state_dim), images.dtype))
+                   states=jnp.zeros((p, num_state_dim), images.dtype),
+                   ground_truth=ground_truth)
 
     @property
     def size(self):
@@ -58,7 +62,7 @@ class PoolState(struct.PyTreeNode):
 
 
 def select_generator_batch(pool: PoolState, key, batch_size: int,
-                           fresh_images):
+                           fresh_images, fresh_gt=None):
     """Pick ``batch_size`` unfinished records (dropping scanned-over
     finished ones), backfilling with fresh RAW when short.
 
@@ -68,9 +72,12 @@ def select_generator_batch(pool: PoolState, key, batch_size: int,
       batch_size: static batch size (<= pool size).
       fresh_images: [batch_size, S, S, C] fresh RAW used when the pool has
         fewer than batch_size unfinished records.
+      fresh_gt: optional paired ground truth for the fresh images
+        (supervised mode).
 
     Returns:
-      (sel_idx [B] int32, batch_images, batch_states, dropped_mask [P])
+      (sel_idx [B] int32, batch_images, batch_states, dropped_mask [P],
+       batch_gt or None)
     """
     p = pool.size
     r = jax.random.uniform(key, (p,))
@@ -93,14 +100,25 @@ def select_generator_batch(pool: PoolState, key, batch_size: int,
                              batch_images)
     batch_states = jnp.where(sel_finished[:, None],
                              jnp.zeros_like(batch_states), batch_states)
-    return sel_idx, batch_images, batch_states, dropped
+    if pool.ground_truth is not None:
+        batch_gt = jnp.take(pool.ground_truth, sel_idx, axis=0)
+        if fresh_gt is not None:
+            batch_gt = jnp.where(sel_finished[:, None, None, None],
+                                 fresh_gt, batch_gt)
+    else:
+        batch_gt = None
+    return sel_idx, batch_images, batch_states, dropped, batch_gt
 
 
 def reinsert(pool: PoolState, key, sel_idx, new_images, new_states,
              dropped_mask, fresh_for_batch, fresh_for_pool,
-             maximum_trajectory_length, over_length_keep_prob):
+             maximum_trajectory_length, over_length_keep_prob,
+             batch_gt=None, fresh_gt_for_batch=None,
+             fresh_gt_for_pool=None):
     """Write stepped records back, applying over-length thinning and
-    replacing dropped slots with fresh RAW."""
+    replacing dropped slots with fresh RAW.  In supervised mode the
+    paired ground truth follows its record (kept when the record is kept,
+    replaced by the fresh pair otherwise)."""
     b = sel_idx.shape[0]
     keep = jnp.logical_or(
         new_states[:, STATE_STEP_DIM] < maximum_trajectory_length,
@@ -114,7 +132,15 @@ def reinsert(pool: PoolState, key, sel_idx, new_images, new_states,
     images = jnp.where(dropped_mask[:, None, None, None], fresh_for_pool,
                        images)
     states = jnp.where(dropped_mask[:, None], jnp.zeros_like(states), states)
-    return PoolState(images=images, states=states)
+    ground_truth = pool.ground_truth
+    if ground_truth is not None:
+        rec_gt = jnp.where(keep[:, None, None, None], batch_gt,
+                           fresh_gt_for_batch)
+        ground_truth = ground_truth.at[sel_idx].set(rec_gt)
+        ground_truth = jnp.where(dropped_mask[:, None, None, None],
+                                 fresh_gt_for_pool, ground_truth)
+    return PoolState(images=images, states=states,
+                     ground_truth=ground_truth)
 
 
 def sample_terminated(pool: PoolState, key, batch_size: int):

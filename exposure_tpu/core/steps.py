@@ -34,7 +34,11 @@ from exposure_tpu.core.replay import (
     select_generator_batch,
 )
 from exposure_tpu.core.train_state import apply_lr_update
-from exposure_tpu.data.device_sampler import DevicePack, sample_batch
+from exposure_tpu.data.device_sampler import (
+    DevicePack,
+    channels_to_paired,
+    sample_batch,
+)
 from exposure_tpu.parallel.mesh import DATA_AXIS
 
 pmean = functools.partial(jax.lax.pmean, axis_name=DATA_AXIS)
@@ -63,9 +67,13 @@ def build_outer_step(cfg, policy, critic_mod, value_mod, filters, tx, mesh,
     local_batch = cfg.batch_size // n_dev
     assert cfg.batch_size % n_dev == 0, (cfg.batch_size, n_dev)
     assert cfg.replay_memory_size % n_dev == 0
+    supervised = bool(cfg.get('supervised', False))
+    if supervised:
+        assert citers == 0, 'supervised mode has no critic updates'
 
     fake_size, fake_augment = fake_meta
     real_size, real_augment = real_meta
+    img_channels = cfg.get('real_img_channels', 3)
 
     def sharded_step(state, pool, fake_images, real_images, key, lr_g, lr_c,
                      progress):
@@ -74,8 +82,13 @@ def build_outer_step(cfg, policy, critic_mod, value_mod, filters, tx, mesh,
         local_pool = pool.size
 
         def sample_fake(k, n):
-            return sample_batch(
+            """Fresh RAW sample; in supervised mode the pack carries
+            (input, gt) pairs as stacked channels — returns (img, gt)."""
+            batch = sample_batch(
                 DevicePack(fake_images, fake_size, fake_augment), k, n)
+            if supervised:
+                return channels_to_paired(batch, img_channels)
+            return batch, None
 
         def sample_real(k, n):
             return sample_batch(
@@ -86,16 +99,17 @@ def build_outer_step(cfg, policy, critic_mod, value_mod, filters, tx, mesh,
             st, pl = carry
             k_sel, k_f1, k_f2, k_f3, k_step, k_keep = jax.random.split(k, 6)
 
-            fresh_batch = sample_fake(k_f1, local_batch)
-            sel_idx, b_img, b_states, dropped = select_generator_batch(
-                pl, k_sel, local_batch, fresh_batch)
+            fresh_batch, fresh_gt = sample_fake(k_f1, local_batch)
+            sel_idx, b_img, b_states, dropped, b_gt = \
+                select_generator_batch(pl, k_sel, local_batch, fresh_batch,
+                                       fresh_gt)
 
             params = {'gen': st.gen_params, 'val': st.val_params}
             (_, aux), grads = jax.value_and_grad(
                 generator_value_loss, has_aux=True)(
                     params, st.crit_params, policy, critic_mod, value_mod,
                     b_img, b_states, k_step, jnp.int32(1), progress, cfg,
-                    filters)
+                    filters, ground_truth=b_gt)
             grads = pmean(grads)
             g_loss = pmean(aux.g_loss)
             v_loss = pmean(aux.v_loss)
@@ -109,12 +123,14 @@ def build_outer_step(cfg, policy, critic_mod, value_mod, filters, tx, mesh,
             st = st.replace(gen_params=gen_params, val_params=val_params,
                             opt_g=opt_g, opt_v=opt_v)
 
-            fresh2 = sample_fake(k_f2, local_batch)
-            fresh_pool = sample_fake(k_f3, local_pool)
+            fresh2, fresh2_gt = sample_fake(k_f2, local_batch)
+            fresh_pool, fresh_pool_gt = sample_fake(k_f3, local_pool)
             pl = reinsert(pl, k_keep, sel_idx, aux.new_images,
                           aux.new_states, dropped, fresh2, fresh_pool,
                           cfg.maximum_trajectory_length,
-                          cfg.over_length_keep_prob)
+                          cfg.over_length_keep_prob,
+                          batch_gt=b_gt, fresh_gt_for_batch=fresh2_gt,
+                          fresh_gt_for_pool=fresh_pool_gt)
             return (st, pl), (g_loss, v_loss, reward)
 
         g_keys = jax.random.split(jax.random.fold_in(key, 1), giters)

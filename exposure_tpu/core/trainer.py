@@ -103,10 +103,18 @@ class Trainer:
             self._pad_to_devices(real_pack.images), shard)
 
         # ---------------- replay pool ----------------
-        pool_images, _ = self.fake_provider.get_next_batch(
+        self.supervised = bool(cfg.get('supervised', False))
+        pool_batch, _ = self.fake_provider.get_next_batch(
             cfg.replay_memory_size)
-        pool = PoolState.create(jnp.asarray(pool_images), cfg.num_state_dim)
-        self.pool = PoolState(
+        if self.supervised:
+            # paired provider yields [P, 2, S, S, C] (input, ground truth)
+            pool_images = jnp.asarray(pool_batch[:, 0])
+            pool_gt = jax.device_put(jnp.asarray(pool_batch[:, 1]), shard)
+        else:
+            pool_images = jnp.asarray(pool_batch)
+            pool_gt = None
+        pool = PoolState.create(pool_images, cfg.num_state_dim, pool_gt)
+        self.pool = pool.replace(
             images=jax.device_put(pool.images, shard),
             states=jax.device_put(pool.states, shard))
 
@@ -174,8 +182,12 @@ class Trainer:
         for it in range(start_iter, cfg.max_iter_step + 1):
             iter_t = time.time()
             progress = it / cfg.max_iter_step
-            if cfg.gan == 'w' and (it < cfg.critic_initialization or
-                                   it % 500 == 0):
+            if self.supervised:
+                # no discriminator updates in supervised mode
+                # (reference net.py:360-364)
+                citers = 0
+            elif cfg.gan == 'w' and (it < cfg.critic_initialization or
+                                     it % 500 == 0):
                 citers = cfg.get('critic_burst', 100)
             else:
                 citers = cfg.citers
@@ -203,20 +215,22 @@ class Trainer:
                             jnp.float32(progress))
 
             g_step = self._get_step(cfg.giters, 0)
-            c_step = self._get_step(0, cfg.citers)
             sub = 0
             for _ in range(max(giters // cfg.giters, 1)):
                 self.state, self.pool, metrics = run(g_step, sub, lr_g)
                 sub += 1
-            c_metrics = metrics
-            for _ in range(max(citers // cfg.citers, 1)):
-                self.state, self.pool, c_metrics = run(c_step, sub, lr_g)
-                sub += 1
-            metrics = metrics._replace(
-                emd=c_metrics.emd,
-                critic_gradient_norm=c_metrics.critic_gradient_norm,
-                pool_avg_trajectory=c_metrics.pool_avg_trajectory,
-                pool_terminated_frac=c_metrics.pool_terminated_frac)
+            if citers > 0:
+                c_step = self._get_step(0, cfg.citers)
+                c_metrics = metrics
+                for _ in range(max(citers // cfg.citers, 1)):
+                    self.state, self.pool, c_metrics = run(c_step, sub,
+                                                           lr_g)
+                    sub += 1
+                metrics = metrics._replace(
+                    emd=c_metrics.emd,
+                    critic_gradient_norm=c_metrics.critic_gradient_norm,
+                    pool_avg_trajectory=c_metrics.pool_avg_trajectory,
+                    pool_terminated_frac=c_metrics.pool_terminated_frac)
             self.state = self.state.replace(step=jnp.int32(it + 1))
 
             if it % 10 == 0:
@@ -336,6 +350,8 @@ class Trainer:
         cfg = self.cfg
         n = min(cfg.num_samples, 16)
         raw, _ = self.fake_provider.get_next_batch(n)
+        if self.supervised:
+            raw = raw[:, 0]
         traj = self.run_rollout(raw, key=jax.random.PRNGKey(it))
         steps = np.asarray(traj.images)  # [K, n, S, S, C]
         k_steps = steps.shape[0]

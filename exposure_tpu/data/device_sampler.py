@@ -21,6 +21,22 @@ class DevicePack(NamedTuple):
     augment: bool        # random crop + flip if True, resize if False
 
 
+def paired_to_channels(pairs):
+    """[N, 2, H, W, C] (input, ground-truth) pairs -> [N, H, W, 2C] so
+    crop/flip augmentation applies identically to both halves."""
+    n, two, h, w, c = pairs.shape
+    assert two == 2
+    return jnp.transpose(pairs, (0, 2, 3, 1, 4)).reshape(n, h, w, 2 * c)
+
+
+def channels_to_paired(batch, channels):
+    """Inverse of :func:`paired_to_channels` on a sampled batch:
+    [B, h, w, 2C] -> (input [B, h, w, C], ground_truth [B, h, w, C])."""
+    b, h, w, c2 = batch.shape
+    pairs = batch.reshape(b, h, w, 2, channels)
+    return pairs[:, :, :, 0, :], pairs[:, :, :, 1, :]
+
+
 def sample_batch(pack: DevicePack, key, batch_size: int):
     """Draw a [batch_size, out, out, C] batch from the pack.
 

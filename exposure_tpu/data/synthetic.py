@@ -46,3 +46,39 @@ class SyntheticDataProvider(DataProvider):
     def __init__(self, n=256, size=80, style='raw', seed=0, *args, **kwargs):
         data = make_synthetic_pack(n, size, style, seed)
         super().__init__(data, *args, **kwargs)
+
+
+def make_paired_synthetic_pack(n=256, size=80, seed=0):
+    """(input, ground-truth) pairs: the target is a bright/contrasty field
+    and the input is its pixel-aligned 'un-retouched' degradation —
+    supervised-mode training data."""
+    rng = np.random.RandomState(seed)
+    target = make_synthetic_pack(n, size, 'retouched', seed)
+    exposure = rng.uniform(0.2, 0.5, (n, 1, 1, 1)).astype(np.float32)
+    inp = (target ** 1.8) * exposure
+    return np.stack([inp, target], axis=1)  # [N, 2, H, W, C]
+
+
+class PairedSyntheticDataProvider(DataProvider):
+    """Provider over [N, 2, H, W, C] pairs (supervised mode).  Host
+    batches come back as [B, 2, h, w, C]; the device pack lays pairs out
+    as extra channels so on-device crop/flip stays consistent
+    (see data/device_sampler.py paired_to_channels)."""
+
+    def __init__(self, n=256, size=80, seed=0, output_size=64,
+                 augmentation=0.3, *args, **kwargs):
+        pairs = make_paired_synthetic_pack(n, size, seed)
+        nn, two, h, w, c = pairs.shape
+        # store pair in channels for uniform augmentation
+        data = pairs.transpose(0, 2, 3, 1, 4).reshape(nn, h, w, two * c)
+        kwargs.pop('bnw', None)
+        super().__init__(data, output_size=output_size,
+                         augmentation=augmentation, *args, **kwargs)
+        self.pair_channels = c
+
+    def get_next_batch(self, batch_size):
+        batch, feats = super().get_next_batch(batch_size)
+        b, h, w, c2 = batch.shape
+        c = self.pair_channels
+        pairs = batch.reshape(b, h, w, 2, c).transpose(0, 3, 1, 2, 4)
+        return pairs, feats

@@ -33,7 +33,7 @@ def fresh(n, value=-1.0):
 
 def test_select_all_unfinished():
     pool = make_pool()
-    sel, imgs, states, dropped = select_generator_batch(
+    sel, imgs, states, dropped, _gt = select_generator_batch(
         pool, jax.random.PRNGKey(0), B, fresh(B))
     sel = np.asarray(sel)
     assert len(set(sel.tolist())) == B
@@ -46,7 +46,7 @@ def test_select_skips_finished():
     finished = list(range(0, 16))
     pool = make_pool(finished)
     for seed in range(5):
-        sel, imgs, states, dropped = select_generator_batch(
+        sel, imgs, states, dropped, _gt = select_generator_batch(
             pool, jax.random.PRNGKey(seed), B, fresh(B))
         sel = np.asarray(sel)
         assert not set(sel.tolist()) & set(finished)
@@ -59,7 +59,7 @@ def test_select_skips_finished():
 def test_select_underfilled_backfills_fresh():
     finished = list(range(P - 4))  # only 4 unfinished
     pool = make_pool(finished)
-    sel, imgs, states, dropped = select_generator_batch(
+    sel, imgs, states, dropped, _gt = select_generator_batch(
         pool, jax.random.PRNGKey(0), B, fresh(B))
     imgs = np.asarray(imgs)
     # exactly B-4 batch rows must be fresh substitutes (value -1)
@@ -71,7 +71,7 @@ def test_select_underfilled_backfills_fresh():
 def test_reinsert_writes_back_and_replaces_dropped():
     pool = make_pool([3])
     key = jax.random.PRNGKey(0)
-    sel, imgs, states, dropped = select_generator_batch(pool, key, B,
+    sel, imgs, states, dropped, _gt = select_generator_batch(pool, key, B,
                                                         fresh(B))
     new_states = np.asarray(states).copy()
     new_states[:, STATE_STEP_DIM] += 1
