@@ -1,0 +1,81 @@
+"""Masking-mode tests: the dormant spatial-mask capability
+(cfg.masking=True, reference filters.py:101-148) must train end to end —
+masks modulate filter strength per pixel and gradients flow into the mask
+head outputs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from exposure_tpu.models import PolicyNet, agent_step, initial_states
+from exposure_tpu.ops.filters import ExposureFilter
+from exposure_tpu.utils import load_config
+
+
+@pytest.fixture(scope='module')
+def masked_cfg():
+    cfg = load_config('test')
+    cfg = cfg.copy()
+    cfg.masking = True
+    return cfg
+
+
+def test_mask_varies_spatially(masked_cfg, rng):
+    f = ExposureFilter(masked_cfg)
+    img = jnp.asarray(rng.rand(2, 16, 16, 3).astype(np.float32))
+    mp = jnp.asarray(rng.randn(2, 6).astype(np.float32) * 2)
+    mask = np.asarray(f.get_mask(img, mp))
+    assert mask.shape == (2, 16, 16, 1)
+    assert mask.std() > 1e-4  # actually spatial, not constant
+
+
+def test_masked_apply_blends(masked_cfg, rng):
+    f = ExposureFilter(masked_cfg)
+    img = jnp.asarray(rng.rand(1, 8, 8, 3).astype(np.float32) * 0.5)
+    raw = jnp.full((1, 1), 3.0)  # strong exposure boost
+    mp = jnp.asarray(rng.randn(1, 6).astype(np.float32))
+    out, _, params = f.apply(img, raw_parameters=raw, mask_parameters=mp)
+    full = f.process(img, params)
+    # masked output lies between input and fully-processed image
+    assert float(jnp.abs(out - img).sum()) > 0
+    assert float(jnp.abs(out - full).sum()) > 0
+    lo = jnp.minimum(img, full) - 1e-5
+    hi = jnp.maximum(img, full) + 1e-5
+    assert bool(jnp.all((out >= lo) & (out <= hi)))
+
+
+def test_agent_step_trains_mask_heads(masked_cfg, rng):
+    cfg = masked_cfg
+    filters = [f(cfg) for f in cfg.filters]
+    policy = PolicyNet(
+        filter_output_dims=tuple(
+            f.get_num_filter_parameters() + f.get_num_mask_parameters()
+            for f in filters),
+        feature_extractor_dims=cfg.feature_extractor_dims,
+        base_channels=cfg.base_channels,
+        fc1_size=cfg.fc1_size,
+        dropout_keep_prob=cfg.dropout_keep_prob)
+    key = jax.random.PRNGKey(0)
+    img = jnp.zeros((2, 64, 64, 3 + cfg.num_state_dim))
+    variables = policy.init({'params': key, 'dropout': key}, img)
+
+    x = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32) * 0.6)
+    states = initial_states(2, cfg.num_state_dim)
+
+    def loss(v):
+        out = agent_step(policy, v, x, states, key=jax.random.PRNGKey(1),
+                         is_train=jnp.int32(1), progress=0.0, cfg=cfg,
+                         filters=filters)
+        return jnp.sum(out.image ** 2)
+
+    grads = jax.grad(loss)(variables)
+    # the fc2 head columns beyond n_params feed the mask; with masking on
+    # the SELECTED filters' mask columns must receive gradient (pathwise
+    # gradients only flow through the one-hot-selected branch)
+    total = 0.0
+    for j, f in enumerate(filters):
+        g = grads['params']['filter_%d_fc2' % j]['kernel']
+        n = f.get_num_filter_parameters()
+        total += float(np.abs(np.asarray(g[:, n:])).sum())
+    assert total > 0

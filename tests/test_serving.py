@@ -1,0 +1,43 @@
+"""Serving pipeline tests (CPU; pallas in interpreter mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from exposure_tpu.core.serving import RetouchPipeline
+from exposure_tpu.core.trainer import build_models, init_train_state
+from exposure_tpu.utils import load_config
+
+
+@pytest.fixture(scope='module')
+def pipeline():
+    cfg = load_config('test')
+    filters, policy, critic, value = build_models(cfg)
+    state, _ = init_train_state(cfg, policy, critic, value, 0)
+    return RetouchPipeline(cfg, state, use_pallas=True, interpret=True)
+
+
+def test_uint8_roundtrip(pipeline, rng):
+    imgs = (rng.rand(2, 64, 128, 3) * 255).astype(np.uint8)
+    out = pipeline(imgs)
+    assert out.shape == imgs.shape
+    assert out.dtype == np.uint8
+
+
+def test_float_input(pipeline, rng):
+    cfg = load_config('test')
+    filters, policy, critic, value = build_models(cfg)
+    state, _ = init_train_state(cfg, policy, critic, value, 0)
+    pipe = RetouchPipeline(cfg, state, use_pallas=False)
+    imgs = rng.rand(2, 64, 64, 3).astype(np.float32) * 0.5
+    out = pipe(imgs)
+    assert out.shape == imgs.shape
+    assert np.isfinite(out).all()
+
+
+def test_deterministic_same_seed(pipeline, rng):
+    imgs = (rng.rand(1, 64, 128, 3) * 255).astype(np.uint8)
+    a = pipeline(imgs, seed=3)
+    b = pipeline(imgs, seed=3)
+    np.testing.assert_array_equal(a, b)
