@@ -30,13 +30,16 @@ from exposure_tpu.utils.config import load_config
 def main():
     iters = int(sys.argv[sys.argv.index('--iters') + 1]) \
         if '--iters' in sys.argv else 30
+    pack_n = int(sys.argv[sys.argv.index('--pack-n') + 1]) \
+        if '--pack-n' in sys.argv else 2048
     cfg = load_config('example')
     mesh = data_parallel_mesh()
     filters, policy, critic, value = build_models(cfg)
     state, tx = init_train_state(cfg, policy, critic, value, 0)
 
     shard = NamedSharding(mesh, P(DATA_AXIS))
-    n = 2048  # synthetic stand-in for the FiveK pack
+    n = pack_n  # synthetic stand-in for the FiveK pack (--pack-n 8000
+    # reproduces the full fold-filtered FiveK footprint in HBM)
     fake = jax.device_put(jnp.asarray(
         make_synthetic_pack(n, 80, 'raw', 0)), shard)
     real = jax.device_put(jnp.asarray(
