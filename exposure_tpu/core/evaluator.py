@@ -80,11 +80,27 @@ class Evaluator:
         self._step_cache = {}
 
     # ------------------------------------------------------------------
+    def _use_pallas(self):
+        """Fused kernel on accelerators when masking is off; the jnp
+        chain (which evaluates all filters and selects) elsewhere."""
+        return (jax.devices()[0].platform != 'cpu'
+                and not self.cfg.masking)
+
     def _chain_fn(self, shape):
         if shape not in self._chain_cache:
-            self._chain_cache[shape] = jax.jit(
-                lambda img, ids, params, active: apply_filter_chain(
-                    img, ids, params, self.filters, active))
+            if self._use_pallas():
+                from exposure_tpu.ops.pallas_chain import (
+                    pallas_apply_filter_chain,
+                )
+                self._chain_cache[shape] = jax.jit(
+                    lambda img, ids, params, active:
+                    pallas_apply_filter_chain(img, ids, params,
+                                              self.filters,
+                                              active_steps=active))
+            else:
+                self._chain_cache[shape] = jax.jit(
+                    lambda img, ids, params, active: apply_filter_chain(
+                        img, ids, params, self.filters, active))
         return self._chain_cache[shape]
 
     def _step_fn(self, shape):
