@@ -33,7 +33,7 @@ from exposure_tpu.core.replay import (
     sample_terminated,
     select_generator_batch,
 )
-from exposure_tpu.core.train_state import apply_lr_update
+from exposure_tpu.core.train_state import apply_lr_update, clip_tree
 from exposure_tpu.data.device_sampler import (
     DevicePack,
     channels_to_paired,
@@ -152,6 +152,9 @@ def build_outer_step(cfg, policy, critic_mod, value_mod, filters, tx, mesh,
             c_avg = pmean(aux.c_average)
             crit_params, opt_c = apply_lr_update(
                 tx, grads, st.opt_c, st.crit_params, lr_c)
+            if cfg.gan == 'w' and cfg.gradient_penalty_lambda <= 0:
+                # weight-clipping fallback when GP is off (net.py:253-266)
+                crit_params = clip_tree(crit_params, cfg.clamp_critic)
             st = st.replace(crit_params=crit_params, opt_c=opt_c,
                             ema=st.ema.update(c_avg))
             return st, (emd, cgn)

@@ -35,6 +35,14 @@ def apply_lr_update(tx, grads, opt_state, params, lr):
     return new_params, new_opt_state
 
 
+def clip_tree(tree, bound):
+    """Clamp every leaf to [-bound, bound] — the WGAN weight-clipping
+    fallback used when the gradient penalty is disabled (reference
+    net.py:253-266; note biases are clamped too, as there)."""
+    return jax.tree_util.tree_map(
+        lambda w: jnp.clip(w, -bound, bound), tree)
+
+
 class EmaState(struct.PyTreeNode):
     """Zero-debiased EMA of a scalar (tf.train.ExponentialMovingAverage
     with zero_debias=True, reference net.py:119-120)."""

@@ -100,6 +100,30 @@ def test_pool_advances_and_terminates(setup):
     assert float(np.asarray(metrics.pool_avg_trajectory)) > 0.5
 
 
+def test_weight_clipping_fallback(setup):
+    # gan='w' with gradient_penalty_lambda<=0 clamps critic weights to
+    # +-clamp_critic after each update (reference net.py:253-266)
+    cfg, state, pool, fake_pack, real_pack, _ = setup
+    from exposure_tpu.core.steps import build_outer_step
+    from exposure_tpu.core.train_state import make_optimizer
+    from exposure_tpu.core.trainer import build_models
+    from exposure_tpu.parallel.mesh import data_parallel_mesh
+    cfg2 = cfg.copy()
+    cfg2.gradient_penalty_lambda = 0
+    cfg2.clamp_critic = 0.01
+    mesh = data_parallel_mesh(8)
+    filters, policy, critic, value = build_models(cfg2)
+    tx = make_optimizer()
+    step = build_outer_step(cfg2, policy, critic, value, filters, tx,
+                            mesh, (64, True), (64, True), giters=1,
+                            citers=1)
+    state2, _, _ = step(state, pool, fake_pack, real_pack,
+                        jax.random.PRNGKey(0), jnp.float32(1e-4),
+                        jnp.float32(1e-2), jnp.float32(0.0))
+    for leaf in jax.tree_util.tree_leaves(state2.crit_params):
+        assert float(jnp.abs(leaf).max()) <= 0.01 + 1e-6
+
+
 def test_lr_zero_keeps_params(setup):
     cfg, state, pool, fake_pack, real_pack, step = setup
     state2, pool2, _ = step(state, pool, fake_pack, real_pack,
