@@ -66,7 +66,7 @@ def build_pipeline(batch, res, use_pallas=True, u8=False):
 
 def main():
     batch = int(sys.argv[sys.argv.index('--batch') + 1]) \
-        if '--batch' in sys.argv else 256
+        if '--batch' in sys.argv else 512
     res = 512
     use_pallas = '--no-pallas' not in sys.argv
     # Default: real serving I/O — standard 8-bit images in/out (all filter
