@@ -238,6 +238,8 @@ class Evaluator:
                     'step': i,
                     'filter_id': fid,
                     'short_name': f.get_short_name(),
+                    'all_short_names': [x.get_short_name()
+                                        for x in self.filters],
                     'filter_parameters':
                         np.asarray(traj.params[i, 0, :n]),
                     'pdf': np.asarray(traj.pdfs[i, 0]),
