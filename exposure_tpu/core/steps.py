@@ -3,9 +3,9 @@
 The reference runs, per outer iteration, one generator+value ``sess.run``
 plus ``citers`` critic ``sess.run``s, each with a host-built feed dict
 (net.py:307-364) — 6+ host<->device round trips per iteration.  Here one
-``outer_step`` call executes the whole iteration (giters generator/value
-updates via lax.scan, then citers critic updates via lax.scan) inside a
-single jitted ``shard_map`` over the data-parallel mesh:
+``outer_step`` call executes a whole phase (giters generator/value
+updates, then citers critic WGAN-GP updates, ``lax.scan``-ed on device)
+inside a single jitted ``shard_map`` over the data-parallel mesh:
 
 - dataset packs and the replay pool are sharded over devices (each device
   runs an independent slice of the replay cycle, statistically equivalent
@@ -14,10 +14,19 @@ single jitted ``shard_map`` over the data-parallel mesh:
   are ``lax.pmean``-ed over ICI;
 - per-device randomness comes from folding the axis index into the key.
 
-The iteration schedule knobs (citers bursts of 100 at initialization and
-every 500 iters; iter-0 warmup of 100 generator steps at lr 0 that only
-populates the pool with terminated records, net.py:312-328) are handled by
-compiling the few (giters, citers) variants that occur.
+Two data paths:
+
+- **device-resident** (default): the full dataset packs live in HBM and
+  fresh crops are sampled inside the step (data/device_sampler.py) —
+  zero host traffic in the hot loop.
+- **streaming** (``build_streaming_outer_step``): fresh crops arrive as
+  per-call arguments assembled on the host (e.g. by the native
+  hostloader, exposure_tpu/native) — for packs too large for HBM.
+
+The iteration schedule knobs (citers bursts at initialization and every
+500 iters; the iter-0 warmup at lr 0 that only populates the pool with
+terminated records, net.py:312-328) are composed by the Trainer from a
+generator-phase program and a critic-phase program.
 """
 
 import functools
@@ -54,19 +63,113 @@ class StepMetrics(NamedTuple):
     pool_terminated_frac: jnp.ndarray
 
 
+def _make_phase_bodies(cfg, policy, critic_mod, value_mod, filters, tx,
+                       local_batch):
+    """Shared generator-phase / critic-phase update cores."""
+
+    def g_update(st, pl, fresh_triplet, keys, lr_g, progress):
+        (fresh_batch, fresh_gt), (fresh2, fresh2_gt), \
+            (fresh_pool, fresh_pool_gt) = fresh_triplet
+        k_sel, k_step, k_keep = keys
+        sel_idx, b_img, b_states, dropped, b_gt = \
+            select_generator_batch(pl, k_sel, local_batch, fresh_batch,
+                                   fresh_gt)
+
+        params = {'gen': st.gen_params, 'val': st.val_params}
+        (_, aux), grads = jax.value_and_grad(
+            generator_value_loss, has_aux=True)(
+                params, st.crit_params, policy, critic_mod, value_mod,
+                b_img, b_states, k_step, jnp.int32(1), progress, cfg,
+                filters, ground_truth=b_gt)
+        grads = pmean(grads)
+        g_loss = pmean(aux.g_loss)
+        v_loss = pmean(aux.v_loss)
+        reward = pmean(jnp.mean(aux.reward))
+
+        gen_params, opt_g = apply_lr_update(
+            tx, grads['gen'], st.opt_g, st.gen_params, lr_g)
+        val_params, opt_v = apply_lr_update(
+            tx, grads['val'], st.opt_v, st.val_params,
+            lr_g * cfg.value_lr_mul)
+        st = st.replace(gen_params=gen_params, val_params=val_params,
+                        opt_g=opt_g, opt_v=opt_v)
+
+        pl = reinsert(pl, k_keep, sel_idx, aux.new_images,
+                      aux.new_states, dropped, fresh2, fresh_pool,
+                      cfg.maximum_trajectory_length,
+                      cfg.over_length_keep_prob,
+                      batch_gt=b_gt, fresh_gt_for_batch=fresh2_gt,
+                      fresh_gt_for_pool=fresh_pool_gt)
+        return st, pl, (g_loss, v_loss, reward)
+
+    def c_update(st, pool, real_batch, keys, lr_c):
+        k_fake, k_gp = keys
+        fake_batch, _ = sample_terminated(pool, k_fake, local_batch)
+        (_, aux), grads = jax.value_and_grad(
+            critic_loss, has_aux=True)(
+                st.crit_params, critic_mod, real_batch, fake_batch,
+                k_gp, cfg)
+        grads = pmean(grads)
+        emd = pmean(aux.emd)
+        cgn = pmean(aux.critic_gradient_norm)
+        c_avg = pmean(aux.c_average)
+        crit_params, opt_c = apply_lr_update(
+            tx, grads, st.opt_c, st.crit_params, lr_c)
+        if cfg.gan == 'w' and cfg.gradient_penalty_lambda <= 0:
+            # weight-clipping fallback when GP is off (net.py:253-266)
+            crit_params = clip_tree(crit_params, cfg.clamp_critic)
+        st = st.replace(crit_params=crit_params, opt_c=opt_c,
+                        ema=st.ema.update(c_avg))
+        return st, (emd, cgn)
+
+    return g_update, c_update
+
+
+def _finalize(state, pool, g_outs, c_outs, citers):
+    g_losses, v_losses, rewards = g_outs
+    if citers > 0:
+        emds, cgns = c_outs
+        emd = jnp.mean(emds)
+        cgn = cgns[-1]
+    else:
+        emd = jnp.zeros(())
+        cgn = jnp.zeros(())
+    # NOTE: state.step is the OUTER iteration counter and is advanced by
+    # the Trainer once per iteration (an iteration may be composed of
+    # several compiled calls).
+    terminated_frac = pmean(jnp.mean(
+        pool.terminated_mask().astype(jnp.float32)))
+    avg_traj = pmean(pool.average_trajectory())
+    metrics = StepMetrics(
+        g_loss=jnp.mean(g_losses),
+        v_loss=jnp.mean(v_losses),
+        emd=emd,
+        critic_gradient_norm=cgn,
+        reward=jnp.mean(rewards),
+        pool_avg_trajectory=avg_traj,
+        pool_terminated_frac=terminated_frac,
+    )
+    return state, pool, metrics
+
+
+def _check_divisibility(cfg, mesh):
+    n_dev = mesh.shape[DATA_AXIS]
+    assert cfg.batch_size % n_dev == 0, (cfg.batch_size, n_dev)
+    assert cfg.replay_memory_size % n_dev == 0
+    return n_dev
+
+
 def build_outer_step(cfg, policy, critic_mod, value_mod, filters, tx, mesh,
                      fake_meta, real_meta, giters, citers):
-    """Compile the full-iteration train step for fixed (giters, citers).
+    """Compile the device-resident train step for fixed (giters, citers).
 
     Args:
       fake_meta/real_meta: (output_size, augment) static sampling metadata
         of the dataset packs (their image arrays are passed at call time,
         sharded over the mesh).
     """
-    n_dev = mesh.shape[DATA_AXIS]
+    n_dev = _check_divisibility(cfg, mesh)
     local_batch = cfg.batch_size // n_dev
-    assert cfg.batch_size % n_dev == 0, (cfg.batch_size, n_dev)
-    assert cfg.replay_memory_size % n_dev == 0
     supervised = bool(cfg.get('supervised', False))
     if supervised:
         assert citers == 0, 'supervised mode has no critic updates'
@@ -74,6 +177,8 @@ def build_outer_step(cfg, policy, critic_mod, value_mod, filters, tx, mesh,
     fake_size, fake_augment = fake_meta
     real_size, real_augment = real_meta
     img_channels = cfg.get('real_img_channels', 3)
+    g_update, c_update = _make_phase_bodies(
+        cfg, policy, critic_mod, value_mod, filters, tx, local_batch)
 
     def sharded_step(state, pool, fake_images, real_images, key, lr_g, lr_c,
                      progress):
@@ -90,106 +195,107 @@ def build_outer_step(cfg, policy, critic_mod, value_mod, filters, tx, mesh,
                 return channels_to_paired(batch, img_channels)
             return batch, None
 
-        def sample_real(k, n):
-            return sample_batch(
-                DevicePack(real_images, real_size, real_augment), k, n)
-
-        # ---------------- generator + value phase ----------------
         def g_body(carry, k):
             st, pl = carry
             k_sel, k_f1, k_f2, k_f3, k_step, k_keep = jax.random.split(k, 6)
-
-            fresh_batch, fresh_gt = sample_fake(k_f1, local_batch)
-            sel_idx, b_img, b_states, dropped, b_gt = \
-                select_generator_batch(pl, k_sel, local_batch, fresh_batch,
-                                       fresh_gt)
-
-            params = {'gen': st.gen_params, 'val': st.val_params}
-            (_, aux), grads = jax.value_and_grad(
-                generator_value_loss, has_aux=True)(
-                    params, st.crit_params, policy, critic_mod, value_mod,
-                    b_img, b_states, k_step, jnp.int32(1), progress, cfg,
-                    filters, ground_truth=b_gt)
-            grads = pmean(grads)
-            g_loss = pmean(aux.g_loss)
-            v_loss = pmean(aux.v_loss)
-            reward = pmean(jnp.mean(aux.reward))
-
-            gen_params, opt_g = apply_lr_update(
-                tx, grads['gen'], st.opt_g, st.gen_params, lr_g)
-            val_params, opt_v = apply_lr_update(
-                tx, grads['val'], st.opt_v, st.val_params,
-                lr_g * cfg.value_lr_mul)
-            st = st.replace(gen_params=gen_params, val_params=val_params,
-                            opt_g=opt_g, opt_v=opt_v)
-
-            fresh2, fresh2_gt = sample_fake(k_f2, local_batch)
-            fresh_pool, fresh_pool_gt = sample_fake(k_f3, local_pool)
-            pl = reinsert(pl, k_keep, sel_idx, aux.new_images,
-                          aux.new_states, dropped, fresh2, fresh_pool,
-                          cfg.maximum_trajectory_length,
-                          cfg.over_length_keep_prob,
-                          batch_gt=b_gt, fresh_gt_for_batch=fresh2_gt,
-                          fresh_gt_for_pool=fresh_pool_gt)
-            return (st, pl), (g_loss, v_loss, reward)
+            triplet = (sample_fake(k_f1, local_batch),
+                       sample_fake(k_f2, local_batch),
+                       sample_fake(k_f3, local_pool))
+            st, pl, outs = g_update(st, pl, triplet,
+                                    (k_sel, k_step, k_keep), lr_g,
+                                    progress)
+            return (st, pl), outs
 
         g_keys = jax.random.split(jax.random.fold_in(key, 1), giters)
-        (state, pool), (g_losses, v_losses, rewards) = jax.lax.scan(
-            g_body, (state, pool), g_keys)
+        (state, pool), g_outs = jax.lax.scan(g_body, (state, pool), g_keys)
 
-        # ---------------- critic phase ----------------
         def c_body(st, k):
-            k_real, k_fake, k_gp, k_c = jax.random.split(k, 4)
-            real_batch = sample_real(k_real, local_batch)
-            fake_batch, _ = sample_terminated(pool, k_fake, local_batch)
-            (_, aux), grads = jax.value_and_grad(
-                critic_loss, has_aux=True)(
-                    st.crit_params, critic_mod, real_batch, fake_batch,
-                    k_gp, cfg)
-            grads = pmean(grads)
-            emd = pmean(aux.emd)
-            cgn = pmean(aux.critic_gradient_norm)
-            c_avg = pmean(aux.c_average)
-            crit_params, opt_c = apply_lr_update(
-                tx, grads, st.opt_c, st.crit_params, lr_c)
-            if cfg.gan == 'w' and cfg.gradient_penalty_lambda <= 0:
-                # weight-clipping fallback when GP is off (net.py:253-266)
-                crit_params = clip_tree(crit_params, cfg.clamp_critic)
-            st = st.replace(crit_params=crit_params, opt_c=opt_c,
-                            ema=st.ema.update(c_avg))
-            return st, (emd, cgn)
+            k_real, k_fake, k_gp = jax.random.split(k, 3)
+            real_batch = sample_batch(
+                DevicePack(real_images, real_size, real_augment), k_real,
+                local_batch)
+            return c_update(st, pool, real_batch, (k_fake, k_gp), lr_c)
 
+        c_outs = None
         if citers > 0:
             c_keys = jax.random.split(jax.random.fold_in(key, 2), citers)
-            state, (emds, cgns) = jax.lax.scan(c_body, state, c_keys)
-            emd = jnp.mean(emds)
-            cgn = cgns[-1]
-        else:
-            emd = jnp.zeros(())
-            cgn = jnp.zeros(())
+            state, c_outs = jax.lax.scan(c_body, state, c_keys)
 
-        # NOTE: state.step is the OUTER iteration counter and is advanced
-        # by the Trainer once per iteration (an iteration may be composed
-        # of several compiled calls).
-        terminated_frac = pmean(jnp.mean(
-            pool.terminated_mask().astype(jnp.float32)))
-        avg_traj = pmean(pool.average_trajectory())
-        metrics = StepMetrics(
-            g_loss=jnp.mean(g_losses),
-            v_loss=jnp.mean(v_losses),
-            emd=emd,
-            critic_gradient_norm=cgn,
-            reward=jnp.mean(rewards),
-            pool_avg_trajectory=avg_traj,
-            pool_terminated_frac=terminated_frac,
-        )
-        return state, pool, metrics
+        return _finalize(state, pool, g_outs, c_outs, citers)
 
     mapped = jax.shard_map(
         sharded_step,
         mesh=mesh,
         in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(), P(),
                   P(), P()),
+        out_specs=(P(), P(DATA_AXIS), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def build_streaming_outer_step(cfg, policy, critic_mod, value_mod, filters,
+                               tx, mesh, giters, citers):
+    """Compile the streaming train step: fresh data arrives per call.
+
+    Call signature of the returned function:
+      step(state, pool, g_fresh, real_batches, key, lr_g, lr_c, progress)
+    where
+      g_fresh:      [giters, 2*batch + pool, S, S, C] fresh RAW crops
+                    (per g-iter: batch for selection backfill, batch for
+                    over-length replacement, pool for dropped slots);
+      real_batches: [citers, batch, S, S, C] target crops.
+
+    Streaming supervised mode is not implemented (packs fit trivially in
+    the paired case we support).
+    """
+    n_dev = _check_divisibility(cfg, mesh)
+    local_batch = cfg.batch_size // n_dev
+    assert not cfg.get('supervised', False), (
+        'streaming supervised mode not implemented')
+    g_update, c_update = _make_phase_bodies(
+        cfg, policy, critic_mod, value_mod, filters, tx, local_batch)
+
+    def sharded_step(state, pool, g_fresh, real_batches, key, lr_g, lr_c,
+                     progress):
+        axis = jax.lax.axis_index(DATA_AXIS)
+        key = jax.random.fold_in(key, axis)
+        local_pool = pool.size
+        b = local_batch
+
+        def g_body(carry, xs):
+            st, pl = carry
+            k, fresh = xs
+            k_sel, k_step, k_keep = jax.random.split(k, 3)
+            triplet = ((fresh[:b], None), (fresh[b:2 * b], None),
+                       (fresh[2 * b:2 * b + local_pool], None))
+            st, pl, outs = g_update(st, pl, triplet,
+                                    (k_sel, k_step, k_keep), lr_g,
+                                    progress)
+            return (st, pl), outs
+
+        g_keys = jax.random.split(jax.random.fold_in(key, 1), giters)
+        (state, pool), g_outs = jax.lax.scan(g_body, (state, pool),
+                                             (g_keys, g_fresh))
+
+        def c_body(st, xs):
+            k, real_batch = xs
+            k_fake, k_gp = jax.random.split(k, 2)
+            return c_update(st, pool, real_batch, (k_fake, k_gp), lr_c)
+
+        c_outs = None
+        if citers > 0:
+            c_keys = jax.random.split(jax.random.fold_in(key, 2), citers)
+            state, c_outs = jax.lax.scan(c_body, state,
+                                         (c_keys, real_batches))
+
+        return _finalize(state, pool, g_outs, c_outs, citers)
+
+    mapped = jax.shard_map(
+        sharded_step,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(None, DATA_AXIS),
+                  P(None, DATA_AXIS), P(), P(), P(), P()),
         out_specs=(P(), P(DATA_AXIS), P()),
         check_vma=False,
     )

@@ -89,18 +89,24 @@ class Trainer:
         self.state, self.tx = init_train_state(
             cfg, self.policy, self.critic, self.value, cfg.get('seed', 0))
 
-        # ---------------- device-resident data ----------------
+        # ---------------- data: device-resident or streaming ----------
         self.fake_provider = cfg.fake_data_provider()
         self.real_provider = cfg.real_data_provider()
-        fake_pack = self.fake_provider.device_pack()
-        real_pack = self.real_provider.device_pack()
-        self.fake_meta = (fake_pack.output_size, fake_pack.augment)
-        self.real_meta = (real_pack.output_size, real_pack.augment)
         shard = NamedSharding(self.mesh, P(DATA_AXIS))
-        self.fake_images = jax.device_put(
-            self._pad_to_devices(fake_pack.images), shard)
-        self.real_images = jax.device_put(
-            self._pad_to_devices(real_pack.images), shard)
+        self.streaming = bool(cfg.get('stream_data', False))
+        if self.streaming:
+            # host-assembled fresh data per call (native hostloader path)
+            self.fake_images = self.real_images = None
+            self.fake_meta = self.real_meta = None
+        else:
+            fake_pack = self.fake_provider.device_pack()
+            real_pack = self.real_provider.device_pack()
+            self.fake_meta = (fake_pack.output_size, fake_pack.augment)
+            self.real_meta = (real_pack.output_size, real_pack.augment)
+            self.fake_images = jax.device_put(
+                self._pad_to_devices(fake_pack.images), shard)
+            self.real_images = jax.device_put(
+                self._pad_to_devices(real_pack.images), shard)
 
         # ---------------- replay pool ----------------
         self.supervised = bool(cfg.get('supervised', False))
@@ -153,16 +159,54 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _get_step(self, giters, citers):
-        key = (giters, citers)
+        key = (self.streaming, giters, citers)
         if key not in self._steps:
             t0 = time.time()
-            self._steps[key] = build_outer_step(
-                self.cfg, self.policy, self.critic, self.value,
-                self.filters, self.tx, self.mesh, self.fake_meta,
-                self.real_meta, giters, citers)
+            if self.streaming:
+                from exposure_tpu.core.steps import \
+                    build_streaming_outer_step
+                self._steps[key] = build_streaming_outer_step(
+                    self.cfg, self.policy, self.critic, self.value,
+                    self.filters, self.tx, self.mesh, giters, citers)
+            else:
+                self._steps[key] = build_outer_step(
+                    self.cfg, self.policy, self.critic, self.value,
+                    self.filters, self.tx, self.mesh, self.fake_meta,
+                    self.real_meta, giters, citers)
             print('# compiled outer step (giters=%d, citers=%d) handle in '
                   '%.1fs' % (giters, citers, time.time() - t0))
         return self._steps[key]
+
+    def _assemble_stream(self, giters, citers):
+        """Host-side fresh-data assembly for one streaming call."""
+        cfg = self.cfg
+        b, p = cfg.batch_size, cfg.replay_memory_size
+        chunk = 2 * b + p
+        g_fresh = np.empty((giters, chunk) +
+                           (cfg.source_img_size, cfg.source_img_size,
+                            cfg.real_img_channels), np.float32)
+        for i in range(giters):
+            g_fresh[i] = self.fake_provider.get_next_batch(chunk)[0]
+        if citers > 0:
+            real = np.stack([self.real_provider.get_next_batch(b)[0]
+                             for _ in range(citers)])
+        else:
+            real = np.zeros((0, b, cfg.source_img_size,
+                             cfg.source_img_size, cfg.real_img_channels),
+                            np.float32)
+        return jnp.asarray(g_fresh), jnp.asarray(real)
+
+    def _stream_bundle(self, giters, citers):
+        """Fetch a streaming data bundle, overlapping host assembly with
+        device execution via a single-slot prefetcher per shape."""
+        from exposure_tpu.utils.prefetch import AsyncPrefetcher
+        if not hasattr(self, '_prefetchers'):
+            self._prefetchers = {}
+        key = (giters, citers)
+        if key not in self._prefetchers:
+            self._prefetchers[key] = AsyncPrefetcher(
+                self._assemble_stream, args=key)
+        return self._prefetchers[key].get_next()
 
     def train(self):
         """Run the training loop; set ``cfg.profile_dir`` to capture a
@@ -206,10 +250,16 @@ class Trainer:
             # Remote compiles cost minutes; per-call dispatch costs
             # microseconds.
             it_key = jax.random.fold_in(base_key, it)
-            args = (self.fake_images, self.real_images)
 
-            def run(step, sub, lr_g_):
-                return step(self.state, self.pool, *args,
+            def run(step, sub, lr_g_, phase):
+                if self.streaming:
+                    if phase == 'g':
+                        data = self._stream_bundle(cfg.giters, 0)
+                    else:
+                        data = self._stream_bundle(0, cfg.citers)
+                else:
+                    data = (self.fake_images, self.real_images)
+                return step(self.state, self.pool, *data,
                             jax.random.fold_in(it_key, sub),
                             jnp.float32(lr_g_), jnp.float32(lr_c),
                             jnp.float32(progress))
@@ -217,14 +267,15 @@ class Trainer:
             g_step = self._get_step(cfg.giters, 0)
             sub = 0
             for _ in range(max(giters // cfg.giters, 1)):
-                self.state, self.pool, metrics = run(g_step, sub, lr_g)
+                self.state, self.pool, metrics = run(g_step, sub, lr_g,
+                                                     'g')
                 sub += 1
             if citers > 0:
                 c_step = self._get_step(0, cfg.citers)
                 c_metrics = metrics
                 for _ in range(max(citers // cfg.citers, 1)):
                     self.state, self.pool, c_metrics = run(c_step, sub,
-                                                           lr_g)
+                                                           lr_g, 'c')
                     sub += 1
                 metrics = metrics._replace(
                     emd=c_metrics.emd,

@@ -1,0 +1,49 @@
+"""Single-slot asynchronous producer.
+
+Clean re-design of the reference ``AsyncTaskManager`` (util.py:596-645):
+one daemon thread keeps exactly one result ready; ``get_next()`` hands it
+over and wakes the producer.  Used by the streaming training mode to
+overlap host-side batch assembly (native hostloader sampling) with device
+execution."""
+
+import queue
+import threading
+
+
+class AsyncPrefetcher:
+
+    def __init__(self, target, args=(), kwargs=None):
+        self._target = target
+        self._args = args
+        self._kwargs = kwargs or {}
+        self._queue = queue.Queue(maxsize=1)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        while not self._stop.is_set():
+            try:
+                result = (None, self._target(*self._args, **self._kwargs))
+            except Exception as e:  # surface in the consumer thread
+                result = (e, None)
+            while not self._stop.is_set():
+                try:
+                    self._queue.put(result, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+
+    def get_next(self):
+        err, value = self._queue.get()
+        if err is not None:
+            raise err
+        return value
+
+    def stop(self):
+        self._stop.set()
+        try:
+            self._queue.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=2)

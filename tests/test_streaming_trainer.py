@@ -1,0 +1,79 @@
+"""End-to-end streaming training: Trainer with stream_data=True fed by
+the native hostloader providers (the big-dataset path)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from exposure_tpu.data.synthetic import make_synthetic_pack
+from exposure_tpu.utils import load_config
+
+
+@pytest.fixture(scope='module')
+def native_packs(tmp_path_factory):
+    from exposure_tpu.native import library_available
+    if not library_available():
+        subprocess.check_call(
+            [sys.executable, '-m', 'exposure_tpu.native.build'])
+    d = tmp_path_factory.mktemp('packs')
+    raw_path = str(d / 'raw.npy')
+    real_path = str(d / 'real.npy')
+    np.save(raw_path, make_synthetic_pack(48, 80, 'raw', 0))
+    np.save(real_path, make_synthetic_pack(48, 64, 'retouched', 1))
+    return raw_path, real_path
+
+
+def test_streaming_trainer_smoke(native_packs, tmp_path):
+    raw_path, real_path = native_packs
+    from exposure_tpu.data.native_provider import NativePackProvider
+
+    cfg = load_config('test')
+    cfg.name = 'stream_test/smoke'
+    cfg.max_iter_step = 2
+    cfg.stream_data = True
+    cfg.fake_data_provider = lambda: NativePackProvider(
+        raw_path, output_size=64, augmentation=0.3, seed=0)
+    cfg.real_data_provider = lambda: NativePackProvider(
+        real_path, output_size=64, augmentation=0.0, seed=1)
+
+    from exposure_tpu.core.trainer import Trainer
+    trainer = Trainer(cfg, restore=False, model_root=str(tmp_path))
+    assert trainer.streaming
+    assert trainer.fake_images is None
+    trainer.train()
+    if trainer.tee:
+        trainer.tee.close()
+    for pf in getattr(trainer, '_prefetchers', {}).values():
+        pf.stop()
+    assert trainer.latest_checkpoint() is not None
+    ps = np.asarray(trainer.pool.states)
+    assert np.isfinite(np.asarray(trainer.pool.images)).all()
+    assert (ps[:, 2] >= 0).all()
+
+
+def test_prefetcher_overlap_and_errors():
+    from exposure_tpu.utils.prefetch import AsyncPrefetcher
+    import time
+
+    calls = []
+
+    def produce():
+        calls.append(time.time())
+        return len(calls)
+
+    pf = AsyncPrefetcher(produce)
+    a = pf.get_next()
+    b = pf.get_next()
+    assert (a, b) == (1, 2)
+    pf.stop()
+
+    def boom():
+        raise ValueError('producer failure')
+
+    pf2 = AsyncPrefetcher(boom)
+    with pytest.raises(ValueError):
+        pf2.get_next()
+    pf2.stop()
