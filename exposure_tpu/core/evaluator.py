@@ -93,21 +93,26 @@ class Evaluator:
                     pallas_apply_filter_chain,
                 )
                 self._chain_cache[shape] = jax.jit(
-                    lambda img, ids, params, active:
+                    lambda img, ids, params, active, mask:
                     pallas_apply_filter_chain(img, ids, params,
                                               self.filters,
                                               active_steps=active))
             else:
+                masking = self.cfg.masking
                 self._chain_cache[shape] = jax.jit(
-                    lambda img, ids, params, active: apply_filter_chain(
-                        img, ids, params, self.filters, active))
+                    lambda img, ids, params, active, mask:
+                    apply_filter_chain(
+                        img, ids, params, self.filters, active,
+                        mask_params=mask if masking else None))
         return self._chain_cache[shape]
 
     def _step_fn(self, shape):
         if shape not in self._step_cache:
+            masking = self.cfg.masking
             self._step_cache[shape] = jax.jit(
-                lambda img, fid, params: apply_filter_step(
-                    img, fid, params, self.filters))
+                lambda img, fid, params, mask: apply_filter_step(
+                    img, fid, params, self.filters,
+                    mask_params=mask if masking else None))
         return self._step_cache[shape]
 
     # ------------------------------------------------------------------
@@ -142,7 +147,7 @@ class Evaluator:
         high = jnp.asarray(high_res_batch)
         fn = self._chain_fn(high.shape)
         return np.asarray(fn(high, traj.filter_ids, traj.params,
-                             self.active_mask(traj)))
+                             self.active_mask(traj), traj.mask_params))
 
     # ------------------------------------------------------------------
     def eval_batched(self, spec_files, output_dir='./outputs', seed=0,
@@ -167,11 +172,13 @@ class Evaluator:
             batch = jnp.asarray(np.stack([images[i] for i in idxs]))
             sub_traj = traj._replace(
                 filter_ids=traj.filter_ids[:, np.asarray(idxs)],
-                params=traj.params[:, np.asarray(idxs)])
+                params=traj.params[:, np.asarray(idxs)],
+                mask_params=traj.mask_params[:, np.asarray(idxs)])
             fn = self._chain_fn(batch.shape)
             outs = np.asarray(fn(batch, sub_traj.filter_ids,
                                  sub_traj.params,
-                                 active[:, np.asarray(idxs)]))
+                                 active[:, np.asarray(idxs)],
+                                 sub_traj.mask_params))
             for j, i in enumerate(idxs):
                 base = os.path.basename(spec_files[i])
                 if show_linear:
@@ -214,7 +221,8 @@ class Evaluator:
                 step_f = self._step_fn(img.shape)
                 active = np.asarray(self.active_mask(traj))
                 for i in range(int(applied[0])):
-                    img = step_f(img, traj.filter_ids[i], traj.params[i])
+                    img = step_f(img, traj.filter_ids[i], traj.params[i],
+                                 traj.mask_params[i])
                     if i < int(applied[0]) - 1:
                         save('intermediate%02d' % i, np.asarray(img[0]))
                 retouched = np.asarray(img[0])

@@ -20,6 +20,7 @@ class Trajectory(NamedTuple):
     states: jnp.ndarray        # [K, B, D]
     filter_ids: jnp.ndarray    # [K, B]
     params: jnp.ndarray        # [K, B, max_p]
+    mask_params: jnp.ndarray   # [K, B, max_mask] raw mask-head outputs
     pdfs: jnp.ndarray          # [K, B, num_filters]
     surrogates: jnp.ndarray    # [K, B, 1]
     final_image: jnp.ndarray   # [B, S, S, C]
@@ -40,12 +41,13 @@ def rollout(policy, gen_params, images, key, *, cfg, filters, is_train=0,
                          is_train=is_train, progress=progress, cfg=cfg,
                          filters=filters)
         ys = (out.image, out.new_states, out.selected_filter_id,
-              out.selected_params, out.pdf, out.surrogate)
+              out.selected_params, out.selected_mask_params, out.pdf,
+              out.surrogate)
         return (out.image, out.new_states), ys
 
     keys = jax.random.split(key, num_steps)
     (final_img, final_st), ys = jax.lax.scan(body, (images, states0), keys)
-    imgs, sts, ids, params, pdfs, surs = ys
+    imgs, sts, ids, params, mask_params, pdfs, surs = ys
     return Trajectory(images=imgs, states=sts, filter_ids=ids, params=params,
-                      pdfs=pdfs, surrogates=surs, final_image=final_img,
-                      final_state=final_st)
+                      mask_params=mask_params, pdfs=pdfs, surrogates=surs,
+                      final_image=final_img, final_state=final_st)

@@ -57,6 +57,7 @@ class AgentStepOutput(NamedTuple):
     penalty: jnp.ndarray          # [B, 1]
     selected_filter_id: jnp.ndarray  # [B] int32
     selected_params: jnp.ndarray  # [B, max_params] packed regressed params
+    selected_mask_params: jnp.ndarray  # [B, max_mask] raw mask params
     pdf: jnp.ndarray              # [B, K] post-mixing action distribution
     entropy: jnp.ndarray          # [B, 1]
     all_params: Any               # list of per-filter regressed params
@@ -91,9 +92,11 @@ def agent_step(policy, variables, img, states, *, key, is_train, progress,
                                     rngs={'dropout': k_drop})
 
     max_p = max_filter_parameters(filters)
+    max_m = max(f.get_num_mask_parameters() for f in filters)
     candidates = []
     hi_candidates = []
     packed = []
+    packed_mask = []
     all_params = []
     for f, raw in zip(filters, raw_list):
         n = f.get_num_filter_parameters()
@@ -106,8 +109,14 @@ def agent_step(policy, variables, img, states, *, key, is_train, progress,
         all_params.append(params)
         flat = params.reshape(params.shape[0], -1)
         packed.append(jnp.pad(flat, ((0, 0), (0, max_p - flat.shape[1]))))
+        if raw_m is not None:
+            packed_mask.append(jnp.pad(
+                raw_m, ((0, 0), (0, max_m - raw_m.shape[1]))))
+        else:
+            packed_mask.append(jnp.zeros((img.shape[0], max_m), img.dtype))
     candidates = jnp.stack(candidates, axis=1)  # [B, K, H, W, C]
     packed = jnp.stack(packed, axis=1)          # [B, K, max_p]
+    packed_mask = jnp.stack(packed_mask, axis=1)  # [B, K, max_m]
 
     # Action distribution with epsilon exploration (agent.py:100-110).
     pdf = jax.nn.softmax(logits) + 1e-37
@@ -133,6 +142,8 @@ def agent_step(policy, variables, img, states, *, key, is_train, progress,
     else:
         high_res_output = None
     selected_params = jnp.sum(packed * one_hot[:, :, None], axis=1)
+    selected_mask_params = jnp.sum(packed_mask * one_hot[:, :, None],
+                                   axis=1)
 
     # State machine (agent.py:208-239): this release terminates exactly at
     # cfg.test_steps — there is no learned submit action.
@@ -164,6 +175,7 @@ def agent_step(policy, variables, img, states, *, key, is_train, progress,
         penalty=penalty,
         selected_filter_id=selected_id,
         selected_params=selected_params,
+        selected_mask_params=selected_mask_params,
         pdf=pdf,
         entropy=entropy,
         all_params=all_params,

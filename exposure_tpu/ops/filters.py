@@ -115,7 +115,10 @@ class Filter:
         if raw_parameters is not None:
             filter_parameters = self.filter_param_regressor(raw_parameters)
         else:
-            assert not self.use_masking()
+            # replayed trajectory: regressed parameters given directly;
+            # with masking on, the recorded raw mask parameters must
+            # accompany them
+            assert not self.use_masking() or mask_parameters is not None
             filter_parameters = specified_parameter
         if mask_parameters is None:
             mask_parameters = jnp.zeros(

@@ -21,6 +21,7 @@ def make_traj(stopped_flags):
         states=states,
         filter_ids=np.zeros((k, b), np.int32),
         params=np.zeros((k, b, 24), np.float32),
+        mask_params=np.zeros((k, b, 6), np.float32),
         pdfs=np.zeros((k, b, 8), np.float32),
         surrogates=np.zeros((k, b, 1), np.float32),
         final_image=np.zeros((b, 4, 4, 3), np.float32),

@@ -45,6 +45,42 @@ def test_masked_apply_blends(masked_cfg, rng):
     assert bool(jnp.all((out >= lo) & (out <= hi)))
 
 
+def test_masked_whitebox_replay(masked_cfg, rng):
+    # With masking on, replaying (filter_id, params, mask_params) must
+    # reproduce the rollout's final image — the white-box property
+    # extends to the spatial masks.
+    import jax
+    from exposure_tpu.core.rollout import rollout
+    from exposure_tpu.ops.chain import apply_filter_chain
+
+    cfg = masked_cfg
+    filters = [f(cfg) for f in cfg.filters]
+    policy = PolicyNet(
+        filter_output_dims=tuple(
+            f.get_num_filter_parameters() + f.get_num_mask_parameters()
+            for f in filters),
+        feature_extractor_dims=cfg.feature_extractor_dims,
+        base_channels=cfg.base_channels,
+        fc1_size=cfg.fc1_size,
+        dropout_keep_prob=cfg.dropout_keep_prob)
+    key = jax.random.PRNGKey(0)
+    variables = policy.init(
+        {'params': key, 'dropout': key},
+        jnp.zeros((2, 64, 64, 3 + cfg.num_state_dim)))
+    imgs = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32) * 0.6)
+    traj = rollout(policy, variables, imgs, jax.random.PRNGKey(1),
+                   cfg=cfg, filters=filters, is_train=0)
+    replayed = apply_filter_chain(imgs, traj.filter_ids, traj.params,
+                                  filters, mask_params=traj.mask_params)
+    np.testing.assert_allclose(np.asarray(replayed),
+                               np.asarray(traj.final_image), atol=2e-4)
+    # and WITHOUT the mask params the replay must differ (mask is real)
+    replayed_nomask = apply_filter_chain(
+        imgs, traj.filter_ids, traj.params,
+        [type(f)(load_config('test')) for f in filters])
+    assert float(jnp.abs(replayed_nomask - traj.final_image).max()) > 1e-4
+
+
 def test_agent_step_trains_mask_heads(masked_cfg, rng):
     cfg = masked_cfg
     filters = [f(cfg) for f in cfg.filters]
