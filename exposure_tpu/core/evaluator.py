@@ -81,10 +81,9 @@ class Evaluator:
 
     # ------------------------------------------------------------------
     def _use_pallas(self):
-        """Fused kernel on accelerators when masking is off; the jnp
-        chain (which evaluates all filters and selects) elsewhere."""
-        return (jax.devices()[0].platform != 'cpu'
-                and not self.cfg.masking)
+        """Fused one-pass kernel on accelerators; the jnp chain (which
+        evaluates all filters and selects) on CPU."""
+        return jax.devices()[0].platform != 'cpu'
 
     def _chain_fn(self, shape):
         if shape not in self._chain_cache:
@@ -92,11 +91,13 @@ class Evaluator:
                 from exposure_tpu.ops.pallas_chain import (
                     pallas_apply_filter_chain,
                 )
+                masking = self.cfg.masking
                 self._chain_cache[shape] = jax.jit(
                     lambda img, ids, params, active, mask:
-                    pallas_apply_filter_chain(img, ids, params,
-                                              self.filters,
-                                              active_steps=active))
+                    pallas_apply_filter_chain(
+                        img, ids, params, self.filters,
+                        active_steps=active,
+                        mask_params=mask if masking else None))
             else:
                 masking = self.cfg.masking
                 self._chain_cache[shape] = jax.jit(

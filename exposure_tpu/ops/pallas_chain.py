@@ -14,9 +14,9 @@ Layout: channels-planar [B, 3, H, W] so tiles are clean (sublane, 128-lane)
 2-D planes per channel; the NHWC wrapper transposes/pads around the call.
 
 Scope: the 9 pointwise filters (E, G, W, S+, T, Ct, BW, C, Le) plus an
-identity slot used for inactive trajectory steps.  Spatial masking
-(cfg.masking, dormant in all shipped configs) and the vignette filter fall
-back to the jnp chain (ops/chain.py).
+identity slot used for inactive trajectory steps; with cfg.masking on,
+the 6-param spatial masks (and the vignette's elliptical mask) are
+evaluated in-kernel from the global pixel grid.
 """
 
 import functools
@@ -140,24 +140,99 @@ _PLANAR_IMPL = {
 }
 
 
-def planar_branches(filters):
-    """Branch list for the kernel switch: one per filter + identity last."""
+def _with_mask(fn, mask_offset, cfg):
+    """Wrap a planar filter op with the 6-param spatial mask blend
+    (filters.py:110-148): mask params are packed at ``mask_offset`` in
+    the parameter row; gx/gy are the normalized centered grid planes."""
+    fir = 5.0  # filter_input_range
+
+    def run(r, g, b, p, gx, gy):
+        r2, g2, b2 = fn(r, g, b, p)
+        # tanh_range(-5, 5, initial=0)(x) == tanh(x) * 5
+        mp = [jnp.tanh(p[mask_offset + j]) * fir for j in range(6)]
+        lum = 0.27 * r + 0.67 * g + 0.06 * b
+        inp = (gx * mp[0] + gy * mp[1] + mp[2] * (lum - 0.5) + mp[3] * 2)
+        inp = inp * (cfg.maximum_sharpness * mp[4] / fir)
+        mask = jax.nn.sigmoid(inp)
+        mask = mask * (mp[5] / fir * 0.5 + 0.5) * \
+            (1 - cfg.minimum_strength) + cfg.minimum_strength
+        return (r + (r2 - r) * mask, g + (g2 - g) * mask,
+                b + (b2 - b) * mask)
+
+    return run
+
+
+def _vignet_masked(cfg, mask_offset):
+    """Vignette: elliptical 5-param mask blending toward black
+    (filters.py:341-401)."""
+    fir = 5.0
+
+    def run(r, g, b, p, gx, gy):
+        # filter param p[0] (sigmoid) is unused by process (returns 0 img)
+        mp = [jnp.tanh(p[mask_offset + j]) * fir for j in range(5)]
+        inp = ((gx * mp[0]) ** 2 + (gy * mp[1]) ** 2 + mp[2] - fir)
+        inp = inp * (cfg.maximum_sharpness * mp[3] / fir)
+        mask = jax.nn.sigmoid(inp) * (mp[4] / fir * 0.5 + 0.5)
+        inv = 1.0 - mask
+        return r * inv, g * inv, b * inv
+
+    return run
+
+
+def planar_branches(filters, mask_offset=None):
+    """Branch list for the kernel switch: one per filter + identity last.
+
+    Each branch consumes (r, g, b, p, gx, gy) where p packs
+    [filter_params (padded) | mask_params] and gx/gy are the spatial grid
+    planes (ignored by unmasked branches).  ``mask_offset`` is where the
+    mask parameters start in the packed row (required when any filter has
+    masking enabled).
+    """
     branches = []
     for f in filters:
         name = type(f).__name__
-        if name not in _PLANAR_IMPL or f.use_masking():
+        if name not in _PLANAR_IMPL and name != 'VignetFilter':
             raise NotImplementedError(
-                'pallas chain does not support %s (masking=%s); use the '
-                'jnp chain' % (name, f.use_masking()))
-        branches.append(_PLANAR_IMPL[name](f.cfg))
-    branches.append(lambda r, g, b, p: (r, g, b))  # identity
+                'pallas chain does not support %s; use the jnp chain'
+                % name)
+        if f.use_masking():
+            assert mask_offset is not None, (
+                'mask_params must be provided for masked filters')
+            if name == 'VignetFilter':
+                branches.append(_vignet_masked(f.cfg, mask_offset))
+            else:
+                base = _PLANAR_IMPL[name](f.cfg)
+                branches.append(_with_mask(base, mask_offset, f.cfg))
+        else:
+            if name == 'VignetFilter':
+                raise NotImplementedError(
+                    'VignetFilter without masking zeroes the image '
+                    '(dormant); use the jnp chain')
+            base = _PLANAR_IMPL[name](f.cfg)
+            branches.append(
+                lambda r, g, b, p, gx, gy, fn=base: fn(r, g, b, p))
+    branches.append(lambda r, g, b, p, gx, gy: (r, g, b))  # identity
     return branches
 
 
 def _chain_kernel(ids_ref, params_ref, img_ref, out_ref, *, branches,
-                  num_steps, max_p):
+                  num_steps, max_p, grid_dims, tile):
     bi = pl.program_id(0)
     quantized = img_ref.dtype == jnp.uint8
+    if grid_dims is not None:
+        # normalized centered (x, y) grid planes for spatial masks
+        # (filters.py:123-133), from global pixel coordinates
+        h, w = grid_dims
+        th, tw = tile
+        shorter = float(min(h, w))
+        rows = (jax.lax.broadcasted_iota(jnp.float32, (th, tw), 0) +
+                pl.program_id(1).astype(jnp.float32) * th)
+        cols = (jax.lax.broadcasted_iota(jnp.float32, (th, tw), 1) +
+                pl.program_id(2).astype(jnp.float32) * tw)
+        gx = (rows + (shorter - h) / 2.0) / shorter - 0.5
+        gy = (cols + (shorter - w) / 2.0) / shorter - 0.5
+    else:
+        gx = gy = jnp.zeros((1, 1), jnp.float32)
     if quantized:
         # Serving fast path: fixed-point [0,1] in uint8 — 4x less HBM
         # traffic than f32 on a bandwidth-bound kernel; all math in f32.
@@ -180,7 +255,7 @@ def _chain_kernel(ids_ref, params_ref, img_ref, out_ref, *, branches,
         def make_branch(fn):
             def run(operands):
                 rr, gg, bb = operands
-                return fn(rr, gg, bb, p)
+                return fn(rr, gg, bb, p, gx, gy)
             return run
 
         r, g, b = jax.lax.switch(fid, [make_branch(fn) for fn in branches],
@@ -199,14 +274,16 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _chain_call(planar, ids, params, branches, tile, interpret):
+def _chain_call(planar, ids, params, branches, tile, interpret,
+                grid_dims=None):
     """One pallas_call on a batch chunk (ids/params whole in SMEM)."""
     b, _, hp, wp = planar.shape
     num_steps = ids.shape[1]
     max_p = params.shape[-1]
     th, tw = tile
     kernel = functools.partial(_chain_kernel, branches=branches,
-                               num_steps=num_steps, max_p=max_p)
+                               num_steps=num_steps, max_p=max_p,
+                               grid_dims=grid_dims, tile=tile)
     return pl.pallas_call(
         kernel,
         grid=(b, hp // th, wp // tw),
@@ -224,16 +301,19 @@ def _chain_call(planar, ids, params, branches, tile, interpret):
 
 
 def pallas_apply_filter_chain(img, filter_ids, packed_params, filters,
-                              active_steps=None, tile=(256, 256),
-                              batch_chunk=8, interpret=False):
+                              active_steps=None, mask_params=None,
+                              tile=(256, 256), batch_chunk=8,
+                              interpret=False):
     """Fused chain replay.
 
     Args:
       img: [B, H, W, 3] float32 NHWC image (linear domain).
       filter_ids: [K, B] int32 per-step choices (rollout layout).
       packed_params: [K, B, max_p] float32 packed parameters.
-      filters: instantiated filter list (masking must be off).
+      filters: instantiated filter list.
       active_steps: optional [K, B] 0/1; inactive steps become identity.
+      mask_params: [K, B, max_mask] raw mask-head outputs — REQUIRED when
+        any filter has masking enabled.
       tile: (sublane, lane) tile; multiples of (8, 128).
       batch_chunk: images per pallas_call — bounds the SMEM footprint of
         the per-image trajectory scalars.
@@ -241,11 +321,19 @@ def pallas_apply_filter_chain(img, filter_ids, packed_params, filters,
 
     Returns: [B, H, W, 3] float32.
     """
-    branches = planar_branches(filters)
+    masking = any(f.use_masking() for f in filters)
+    max_p = packed_params.shape[-1]
+    branches = planar_branches(
+        filters, mask_offset=max_p if masking else None)
     identity_id = len(branches) - 1
 
     ids = jnp.transpose(filter_ids, (1, 0)).astype(jnp.int32)  # [B, K]
     params = jnp.transpose(packed_params, (1, 0, 2))           # [B, K, P]
+    if masking:
+        assert mask_params is not None, (
+            'masking filters require mask_params')
+        params = jnp.concatenate(
+            [params, jnp.transpose(mask_params, (1, 0, 2))], axis=-1)
     if active_steps is not None:
         act = jnp.transpose(active_steps, (1, 0))
         ids = jnp.where(act > 0, ids, identity_id)
@@ -261,11 +349,13 @@ def pallas_apply_filter_chain(img, filter_ids, packed_params, filters,
     # gamma/pow sees max(x, 1e-3), so zero padding is numerically safe
     planar = jnp.pad(planar, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
 
+    grid_dims = (h, w) if masking else None
     outs = []
     for s in range(0, b, batch_chunk):
         e = min(s + batch_chunk, b)
         outs.append(_chain_call(planar[s:e], ids[s:e], params[s:e],
-                                branches, (th, tw), interpret))
+                                branches, (th, tw), interpret,
+                                grid_dims=grid_dims))
     out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     out = out[:, :, :h, :w]
     return jnp.transpose(out, (0, 2, 3, 1))

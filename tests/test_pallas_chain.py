@@ -89,6 +89,41 @@ def test_uint8_serving_path(rng, cfg, filters):
     assert diff.max() <= 1, diff.max()
 
 
+def test_masked_chain_matches_jnp(rng, cfg):
+    # with cfg.masking on, the kernel evaluates the spatial masks from
+    # the global pixel grid; must match the jnp chain
+    mcfg = cfg.copy()
+    mcfg.masking = True
+    mfilters = [f(mcfg) for f in mcfg.filters]
+    img = jnp.asarray(rng.rand(2, 64, 128, 3).astype(np.float32) * 0.9)
+    ids, params = random_trajectory(rng, mfilters, 3, 2)
+    mask = jnp.asarray(rng.randn(3, 2, 6).astype(np.float32))
+    expected = apply_filter_chain(img, ids, params, mfilters,
+                                  mask_params=mask)
+    got = pallas_apply_filter_chain(img, ids, params, mfilters,
+                                    mask_params=mask, tile=(32, 128),
+                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               atol=5e-5, rtol=1e-4)
+
+
+def test_masked_chain_nonsquare_grid(rng, cfg):
+    # the mask grid depends on min(H, W) centering; exercise a tall image
+    mcfg = cfg.copy()
+    mcfg.masking = True
+    mfilters = [f(mcfg) for f in mcfg.filters]
+    img = jnp.asarray(rng.rand(1, 96, 128, 3).astype(np.float32) * 0.8)
+    ids, params = random_trajectory(rng, mfilters, 2, 1)
+    mask = jnp.asarray(rng.randn(2, 1, 6).astype(np.float32) * 2)
+    expected = apply_filter_chain(img, ids, params, mfilters,
+                                  mask_params=mask)
+    got = pallas_apply_filter_chain(img, ids, params, mfilters,
+                                    mask_params=mask, tile=(32, 128),
+                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               atol=5e-5, rtol=1e-4)
+
+
 def test_every_single_filter_matches(rng, cfg, filters):
     # one-step chains isolating each filter
     img = jnp.asarray(rng.rand(1, 32, 128, 3).astype(np.float32) * 0.9)
