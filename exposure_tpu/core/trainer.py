@@ -32,6 +32,21 @@ from exposure_tpu.utils import MedianWindow, MetricLogger, Tee
 from exposure_tpu.utils.image_io import make_image_grid, write_image
 
 
+def pool_health_warning(citers, supervised, terminated_frac):
+    """Guard against the silent failure mode where the critic trains
+    while the replay pool holds no terminated records: our
+    ``sample_terminated`` falls back to uniform sampling there (the
+    reference hard-asserts instead, replay_memory.py:260), which would
+    quietly feed the critic non-terminated images."""
+    if citers > 0 and not supervised and terminated_frac <= 0:
+        return ('critic phase ran with ZERO terminated records in the '
+                'replay pool; critic batches fell back to uniform '
+                'sampling over unterminated records — check the warmup '
+                'schedule (reference replay_memory.py:260 hard-asserts '
+                'here)')
+    return None
+
+
 def build_models(cfg):
     """Instantiate filters + the three networks from a config."""
     filters = [f(cfg) for f in cfg.filters]
@@ -295,6 +310,10 @@ class Trainer:
                     raise FloatingPointError(
                         'non-finite training metrics at iter %d: %s '
                         '(state dumped near %s)' % (it, m, dump))
+                warn = pool_health_warning(citers, self.supervised,
+                                           m.pool_terminated_frac)
+                if warn:
+                    print('# WARNING (it %d): %s' % (it, warn))
                 g_pool.add(m.g_loss)
                 v_pool.add(m.v_loss)
                 emd_pool.add(m.emd)

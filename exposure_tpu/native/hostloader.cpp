@@ -146,33 +146,74 @@ int hl_pack_info(void* handle, long* n, long* h, long* w, long* c) {
   return 0;
 }
 
+namespace {
+
+// Bilinear resize of one [H, W, C] image to [out, out, C], matching
+// cv2.resize INTER_LINEAR center-aligned sampling on float images
+// (src = (dst + 0.5) * scale - 0.5) — the Python provider's
+// non-augmented path (data/provider.py:89-101).
+static void bilinear_resize(const float* src, long H, long W, long C,
+                            long out_size, float* dst) {
+  const double sx_scale = static_cast<double>(H) / out_size;
+  const double sy_scale = static_cast<double>(W) / out_size;
+  for (long r = 0; r < out_size; ++r) {
+    double fx = (r + 0.5) * sx_scale - 0.5;
+    if (fx < 0) fx = 0;
+    long x0 = static_cast<long>(fx);
+    if (x0 > H - 1) x0 = H - 1;
+    long x1 = x0 + 1 < H ? x0 + 1 : H - 1;
+    const float wx = static_cast<float>(fx - x0);
+    float* drow = dst + r * out_size * C;
+    for (long col = 0; col < out_size; ++col) {
+      double fy = (col + 0.5) * sy_scale - 0.5;
+      if (fy < 0) fy = 0;
+      long y0 = static_cast<long>(fy);
+      if (y0 > W - 1) y0 = W - 1;
+      long y1 = y0 + 1 < W ? y0 + 1 : W - 1;
+      const float wy = static_cast<float>(fy - y0);
+      const float* p00 = src + (x0 * W + y0) * C;
+      const float* p01 = src + (x0 * W + y1) * C;
+      const float* p10 = src + (x1 * W + y0) * C;
+      const float* p11 = src + (x1 * W + y1) * C;
+      for (long ch = 0; ch < C; ++ch) {
+        const float top = p00[ch] + (p01[ch] - p00[ch]) * wy;
+        const float bot = p10[ch] + (p11[ch] - p10[ch]) * wy;
+        drow[col * C + ch] = top + (bot - top) * wx;
+      }
+    }
+  }
+}
+
+}  // namespace
+
 int hl_sample_crops(void* handle, long batch, long out_size, int augment,
                     unsigned long long seed, float* out) {
   if (!handle) return -1;
   Pack* p = static_cast<Pack*>(handle);
   const long H = p->h, W = p->w, C = p->c;
-  if (out_size > H || out_size > W) return -2;
+  if (augment && (out_size > H || out_size > W)) return -2;
   const long crop_max_x = augment ? (H - out_size + 1) : 1;
   const long crop_max_y = augment ? (W - out_size + 1) : 1;
-  const long center_x = (H - out_size) / 2;
-  const long center_y = (W - out_size) / 2;
+  const bool resize = !augment && (out_size != H || out_size != W);
 
 #pragma omp parallel for schedule(static)
   for (long i = 0; i < batch; ++i) {
     uint64_t state = seed ^ (0x5851f42d4c957f2dULL * (i + 1));
     long idx = rand_below(state, p->n);
-    long sx, sy;
+    const float* src = p->data + static_cast<size_t>(idx) * H * W * C;
+    float* dst = out + static_cast<size_t>(i) * out_size * out_size * C;
+    if (resize) {
+      // non-augmented path: bilinear resize of the whole image, matching
+      // the Python provider (data/provider.py:89-101)
+      bilinear_resize(src, H, W, C, out_size, dst);
+      continue;
+    }
+    long sx = 0, sy = 0;
     if (augment) {
       sx = rand_below(state, crop_max_x);
       sy = rand_below(state, crop_max_y);
-    } else {
-      // non-augmented path: deterministic center crop
-      sx = center_x;
-      sy = center_y;
     }
     bool flip = augment && (splitmix64(state) & 1);
-    const float* src = p->data + static_cast<size_t>(idx) * H * W * C;
-    float* dst = out + static_cast<size_t>(i) * out_size * out_size * C;
     for (long r = 0; r < out_size; ++r) {
       const float* row = src + ((sx + r) * W + sy) * C;
       float* drow = dst + r * out_size * C;

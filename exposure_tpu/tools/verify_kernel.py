@@ -1,0 +1,191 @@
+"""On-device verification of the fused Pallas chain kernel.
+
+The pytest suite proves kernel==jnp-chain equality in *interpreter* mode
+on CPU (tests/test_pallas_chain.py); this tool proves it for the
+Mosaic-COMPILED kernel on the actual accelerator, across resolutions
+(64 / 512 / non-multiples of the tile), dtypes (f32 and the uint8
+serving path), and masking modes (unmasked, 6-param linear masks,
+elliptical vignette, inactive-step identity).  A miscompile — tile
+boundary bug, u8 rounding, switch branch ordering — fails loudly here
+instead of shipping silently at serving speed.
+
+The reference gets this correctness for free by replaying through the
+single shared TF graph (reference filters.py:89-98, net.py:683-709); our
+dual implementation (jnp chain for training/gradients, fused kernel for
+serving) is why this check exists.
+
+Usage:
+  python -m exposure_tpu.tools.verify_kernel [--out KERNELCHECK.json]
+                                             [--interpret]
+
+Exit code 0 iff every case passes (f32 max-abs-diff <= 1e-4,
+u8 <= 2 LSB).  Writes a JSON artifact for the record.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from exposure_tpu.ops.chain import apply_filter_chain
+from exposure_tpu.ops.filters import VignetFilter, max_filter_parameters
+from exposure_tpu.ops.pallas_chain import pallas_apply_filter_chain
+from exposure_tpu.utils.config import load_config
+
+F32_TOL = 1e-4
+U8_TOL = 2  # LSB
+
+
+def random_trajectory(rng, filters, k, b):
+    """Random (ids, packed regressed params) like a rollout would emit."""
+    max_p = max_filter_parameters(filters)
+    ids = rng.randint(0, len(filters), (k, b)).astype(np.int32)
+    params = np.zeros((k, b, max_p), np.float32)
+    for s in range(k):
+        for i in range(b):
+            f = filters[ids[s, i]]
+            n = f.get_num_filter_parameters()
+            raw = rng.randn(1, n).astype(np.float32)
+            reg = np.asarray(f.filter_param_regressor(jnp.asarray(raw)))
+            params[s, i, :n] = reg.reshape(-1)
+    return jnp.asarray(ids), jnp.asarray(params)
+
+
+def run_case(name, rng, filters, shape, steps, dtype='f32', masked=False,
+             active=False, interpret=False):
+    b, h, w = shape
+    imgf = rng.rand(b, h, w, 3).astype(np.float32) * 0.9
+    ids, params = random_trajectory(rng, filters, steps, b)
+    mask_params = None
+    if masked:
+        max_mask = max(f.get_num_mask_parameters() for f in filters)
+        mask_params = jnp.asarray(
+            rng.randn(steps, b, max_mask).astype(np.float32))
+    active_steps = None
+    if active:
+        act = np.ones((steps, b), np.float32)
+        act[steps // 2:] = 0.0
+        active_steps = jnp.asarray(act)
+
+    jnp_chain = jax.jit(lambda im: apply_filter_chain(
+        im, ids, params, filters, active_steps=active_steps,
+        mask_params=mask_params))
+    pallas = jax.jit(lambda im: pallas_apply_filter_chain(
+        im, ids, params, filters, active_steps=active_steps,
+        mask_params=mask_params, interpret=interpret))
+
+    t0 = time.time()
+    expected = np.asarray(jnp_chain(jnp.asarray(imgf)))
+    if dtype == 'u8':
+        img8 = (imgf * 255).round().astype(np.uint8)
+        got = np.asarray(pallas(jnp.asarray(img8)))
+        assert got.dtype == np.uint8, got.dtype
+        # the u8 path dequantizes its own input; re-derive the expectation
+        # from the dequantized image for an apples-to-apples compare
+        expected = np.asarray(jnp_chain(
+            jnp.asarray(img8.astype(np.float32) / 255.0)))
+        expected_q = np.round(np.clip(expected, 0, 1) * 255.0)
+        diff = float(np.abs(got.astype(np.int64) -
+                            expected_q.astype(np.int64)).max())
+        tol = U8_TOL
+    else:
+        got = np.asarray(pallas(jnp.asarray(imgf)))
+        diff = float(np.abs(got - expected).max())
+        tol = F32_TOL
+    ok = bool(diff <= tol) and bool(np.isfinite(got.astype(np.float64)).all())
+    return {
+        'case': name,
+        'shape': list(shape),
+        'steps': steps,
+        'dtype': dtype,
+        'masked': masked,
+        'active_mask': active,
+        'max_abs_diff': diff,
+        'tol': tol,
+        'ok': ok,
+        'seconds': round(time.time() - t0, 2),
+    }
+
+
+def verify(interpret=False, seed=0):
+    rng = np.random.RandomState(seed)
+    cfg = load_config('example')
+    filters = [f(cfg) for f in cfg.filters]
+    mcfg = cfg.copy()
+    mcfg.masking = True
+    mfilters = [f(mcfg) for f in mcfg.filters]
+    vfilters = mfilters + [VignetFilter(mcfg)]
+
+    cases = [
+        ('f32_64', filters, (4, 64, 64), 5, 'f32', False, False),
+        ('f32_512', filters, (2, 512, 512), 5, 'f32', False, False),
+        ('f32_odd_96x160', filters, (2, 96, 160), 5, 'f32', False, False),
+        ('f32_odd_300x200', filters, (1, 300, 200), 5, 'f32', False, False),
+        ('f32_active_steps', filters, (2, 64, 64), 5, 'f32', False, True),
+        ('u8_512', filters, (2, 512, 512), 5, 'u8', False, False),
+        ('u8_odd_200x300', filters, (1, 200, 300), 5, 'u8', False, False),
+        ('masked_64x128', mfilters, (2, 64, 128), 3, 'f32', True, False),
+        ('masked_odd_96x128', mfilters, (1, 96, 128), 3, 'f32', True, False),
+        ('vignette_96x128', vfilters, (1, 96, 128), 3, 'f32', True, False),
+    ]
+    results = []
+    for name, flt, shape, steps, dtype, masked, active in cases:
+        r = run_case(name, rng, flt, shape, steps, dtype=dtype,
+                     masked=masked, active=active, interpret=interpret)
+        print('  %-20s %-12s diff=%.3g tol=%g %s (%.1fs)' %
+              (r['case'], 'x'.join(map(str, r['shape'])),
+               r['max_abs_diff'], r['tol'],
+               'OK' if r['ok'] else 'FAIL', r['seconds']))
+        results.append(r)
+
+    dev = jax.devices()[0]
+    report = {
+        'backend': jax.default_backend(),
+        'device': str(dev.device_kind),
+        'n_devices': len(jax.devices()),
+        'interpret': interpret,
+        'jax_version': jax.__version__,
+        'cases': results,
+        'ok': all(r['ok'] for r in results),
+    }
+    return report
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--out', default=None,
+                        help='write the JSON report here')
+    parser.add_argument('--interpret', action='store_true',
+                        help='interpreter mode (CPU testing)')
+    parser.add_argument('--cpu', action='store_true',
+                        help='force the CPU backend (implies --interpret)')
+    parser.add_argument('--seed', type=int, default=0)
+    args = parser.parse_args()
+    if args.cpu:
+        jax.config.update('jax_platforms', 'cpu')
+        args.interpret = True
+
+    print('# verify_kernel: backend=%s devices=%r' %
+          (jax.default_backend(), [str(d) for d in jax.devices()[:4]]))
+    report = verify(interpret=args.interpret, seed=args.seed)
+    if args.out:
+        with open(args.out, 'w') as f:
+            json.dump(report, f, indent=1)
+        print('# wrote', args.out)
+    print(json.dumps({'kernel_check_ok': report['ok'],
+                      'device': report['device'],
+                      'worst_f32': max(r['max_abs_diff']
+                                       for r in report['cases']
+                                       if r['dtype'] == 'f32'),
+                      'worst_u8_lsb': max(r['max_abs_diff']
+                                          for r in report['cases']
+                                          if r['dtype'] == 'u8')}))
+    sys.exit(0 if report['ok'] else 1)
+
+
+if __name__ == '__main__':
+    main()

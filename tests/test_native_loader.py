@@ -90,14 +90,30 @@ def test_flips_occur(pack_file):
     os.remove(gpath)
 
 
-def test_center_crop_when_not_augmenting(pack_file):
+def test_resize_when_not_augmenting(pack_file):
+    # Python-provider parity: the non-augmented path bilinear-resizes the
+    # whole image to output_size (data/provider.py:89-101, cv2.resize
+    # INTER_LINEAR), NOT a center crop.
+    cv2 = pytest.importorskip('cv2')
     from exposure_tpu.native import NativePack
     path, pack = pack_file
     np_pack = NativePack(path)
     batch = np_pack.sample(8, 64, augment=False, seed=1)
-    centers = pack[:, 8:72, 8:72]
+    refs = np.stack([cv2.resize(im, (64, 64)) for im in pack])
     for crop in batch:
-        assert any(np.array_equal(crop, c) for c in centers)
+        diffs = np.abs(refs - crop[None]).reshape(len(pack), -1).max(axis=1)
+        assert diffs.min() < 1e-6, 'non-augmented sample is not a bilinear' \
+            ' resize of any pack image'
+    np_pack.close()
+
+
+def test_same_size_passthrough_when_not_augmenting(pack_file):
+    from exposure_tpu.native import NativePack
+    path, pack = pack_file
+    np_pack = NativePack(path)
+    batch = np_pack.sample(8, 80, augment=False, seed=2)
+    for crop in batch:
+        assert any(np.array_equal(crop, im) for im in pack)
     np_pack.close()
 
 

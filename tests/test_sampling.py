@@ -33,6 +33,15 @@ def test_unnormalized_pdf_frequencies(rng):
     np.testing.assert_allclose(freq, expected, atol=0.02)
 
 
+def test_zero_noise_clamped():
+    # jax.random.uniform can return exactly 0.0; the raw reference formula
+    # (pdf_sample_layer.py:5-10) would yield index -1 there (all-zero
+    # one-hot -> black image).  We clamp to the valid range.
+    pdf = jnp.asarray([[0.25, 0.25, 0.5]])
+    assert int(pdf_sample(pdf, jnp.asarray([[0.0]]))[0]) == 0
+    assert int(pdf_sample(pdf, jnp.asarray([[1.0]]))[0]) == 2
+
+
 def test_batch_independent_rows(rng):
     pdf = jnp.asarray([[1.0, 0.0], [0.0, 1.0]])
     noise = jnp.asarray([[0.5], [0.5]])

@@ -94,3 +94,47 @@ class TestPickleToTex:
         text = open(out).read()
         assert r'\begin{tikzpicture}' in text
         assert 'Step 1' in text and 'Step 2' in text
+
+
+class TestQtShell:
+    """Smoke-run the PyQt5 shell (tools/user_study/main.py) against a
+    stubbed Qt: builds the window, loads an image, wires up tabs/sliders
+    and renders a preview through the real RetouchSession — catching any
+    shell-level typo without a display or PyQt5 (reference
+    user_study_ui/main.py:314-322)."""
+
+    def test_run_qt_with_stubbed_pyqt5(self, rng, tmp_path, monkeypatch):
+        import sys
+        import types
+        from unittest import mock
+
+        class _Widget:
+            def __init__(self, *a, **k):
+                pass
+
+            def __getattr__(self, name):
+                return mock.MagicMock()
+
+        qtcore = types.ModuleType('PyQt5.QtCore')
+        qtcore.Qt = mock.MagicMock()
+        qtgui = types.ModuleType('PyQt5.QtGui')
+        qtgui.QImage = mock.MagicMock()
+        qtgui.QPixmap = mock.MagicMock()
+        qtw = types.ModuleType('PyQt5.QtWidgets')
+        qtw.QWidget = _Widget
+        for name in ('QApplication', 'QComboBox', 'QGridLayout', 'QLabel',
+                     'QPushButton', 'QSlider', 'QTabWidget', 'QVBoxLayout'):
+            setattr(qtw, name, mock.MagicMock())
+        pyqt5 = types.ModuleType('PyQt5')
+        pyqt5.QtCore = qtcore
+        pyqt5.QtGui = qtgui
+        pyqt5.QtWidgets = qtw
+        for modname, mod in (('PyQt5', pyqt5), ('PyQt5.QtCore', qtcore),
+                             ('PyQt5.QtGui', qtgui),
+                             ('PyQt5.QtWidgets', qtw)):
+            monkeypatch.setitem(sys.modules, modname, mod)
+
+        np.save(str(tmp_path / 'study0.npy'),
+                rng.rand(16, 16, 3).astype(np.float32))
+        from exposure_tpu.tools.user_study.main import run_qt
+        run_qt(str(tmp_path), 'tester')

@@ -124,6 +124,49 @@ def test_weight_clipping_fallback(setup):
         assert float(jnp.abs(leaf).max()) <= 0.01 + 1e-6
 
 
+def test_citers_zero_leaves_critic_and_ema(setup):
+    # a generator-only phase (citers=0, as composed by the Trainer and as
+    # supervised mode always runs) must not touch the critic or its EMA
+    cfg, state, pool, fake_pack, real_pack, _ = setup
+    from exposure_tpu.core.trainer import build_models
+    filters, policy, critic, value = build_models(cfg)
+    tx = make_optimizer(cfg.adam_beta1, cfg.adam_beta2)
+    mesh = data_parallel_mesh(8)
+    step = build_outer_step(cfg, policy, critic, value, filters, tx, mesh,
+                            (64, True), (64, True), giters=1, citers=0)
+    state2, _, metrics = step(state, pool, fake_pack, real_pack,
+                              jax.random.PRNGKey(0), jnp.float32(1e-4),
+                              jnp.float32(1e-2), jnp.float32(0.0))
+    for a, b in zip(jax.tree_util.tree_leaves(state.crit_params),
+                    jax.tree_util.tree_leaves(state2.crit_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(state2.ema.count) == int(state.ema.count)
+    assert float(metrics.emd) == 0.0
+    assert float(metrics.critic_gradient_norm) == 0.0
+
+
+def test_ema_zero_debias():
+    # tf.train.ExponentialMovingAverage(0.99, zero_debias=True) parity
+    # (reference net.py:119-120): value 0 before any update; after one
+    # update the debiased value equals the raw observation.
+    from exposure_tpu.core.train_state import EmaState
+    ema = EmaState.create()
+    assert float(ema.value) == 0.0
+    ema1 = ema.update(jnp.float32(5.0))
+    np.testing.assert_allclose(float(ema1.value), 5.0, rtol=1e-6)
+    ema2 = ema1.update(jnp.float32(3.0))
+    expected = (0.05 * 0.99 + 0.01 * 3.0) / (1 - 0.99 ** 2)
+    np.testing.assert_allclose(float(ema2.value), expected, rtol=1e-6)
+
+
+def test_pool_health_warning():
+    from exposure_tpu.core.trainer import pool_health_warning
+    assert pool_health_warning(5, False, 0.0) is not None
+    assert pool_health_warning(0, False, 0.0) is None  # no critic phase
+    assert pool_health_warning(5, True, 0.0) is None   # supervised
+    assert pool_health_warning(5, False, 0.25) is None
+
+
 def test_lr_zero_keeps_params(setup):
     cfg, state, pool, fake_pack, real_pack, step = setup
     state2, pool2, _ = step(state, pool, fake_pack, real_pack,
