@@ -251,6 +251,9 @@ class Evaluator:
                                         for x in self.filters],
                     'filter_parameters':
                         np.asarray(traj.params[i, 0, :n]),
+                    'mask_parameters': np.asarray(
+                        traj.mask_params[i, 0,
+                                         :f.get_num_mask_parameters()]),
                     'pdf': np.asarray(traj.pdfs[i, 0]),
                     'applied': i < int(applied[0]),
                 })
@@ -260,24 +263,37 @@ class Evaluator:
 
             # steps figure: row 0 = input proxy + per-step low-res
             # outputs; row 1 = decision (pdf) panels; row 2 = operation
-            # panels (reference net.py:845-877 layout)
-            from exposure_tpu.utils.viz import draw_step_panels
+            # panels; with masking on, row 3 = per-step spatial masks
+            # (reference net.py:845-877 layout + filters.py:150-167)
+            from exposure_tpu.utils.viz import (
+                draw_mask_panel,
+                draw_step_panels,
+            )
             blank = np.ones_like(low_res)
             n_applied = int(applied[0])
             row_imgs = [low_res] + [np.asarray(traj.images[i, 0])
                                     for i in range(n_applied)]
             row_dec, row_op = [blank], [blank]
+            row_mask = [blank] if self.cfg.masking else None
             for i in range(n_applied):
                 dec, op = draw_step_panels(self.filters, debug[i],
                                            size=low_res.shape[0])
                 row_dec.append(dec)
                 row_op.append(op)
+                if row_mask is not None:
+                    step_input = low_res if i == 0 \
+                        else np.asarray(traj.images[i - 1, 0])
+                    row_mask.append(draw_mask_panel(
+                        self.filters[debug[i]['filter_id']], step_input,
+                        debug[i]['mask_parameters']))
 
             def hpad(row):
                 return np.hstack([np.pad(r, ((1, 1), (1, 1), (0, 0)),
                                          constant_values=1.0) for r in row])
-            save('steps', np.vstack([hpad(row_imgs), hpad(row_dec),
-                                     hpad(row_op)]))
+            strip_rows = [hpad(row_imgs), hpad(row_dec), hpad(row_op)]
+            if row_mask is not None:
+                strip_rows.append(hpad(row_mask))
+            save('steps', np.vstack(strip_rows))
             results.append({'file': fn, 'retouched': retouched,
                             'debug': debug})
         return results

@@ -452,6 +452,7 @@ class Trainer:
             blank = np.ones_like(img_row[0])
             grad_row = [blank] + [grad_imgs[k, b] for k in range(k_steps)]
             dec_row, op_row = [blank], [blank]
+            mask_row = [blank] if cfg.masking else None
             for k in range(k_steps):
                 dbg = {'pdf': np.asarray(traj.pdfs[k, b]),
                        'filter_id': int(traj.filter_ids[k, b]),
@@ -464,12 +465,22 @@ class Trainer:
                                            size=img_row[0].shape[0])
                 dec_row.append(dec)
                 op_row.append(op)
+                if mask_row is not None:
+                    from exposure_tpu.utils.viz import draw_mask_panel
+                    step_input = np.asarray(raw[b]) if k == 0 \
+                        else steps[k - 1, b]
+                    mask_row.append(draw_mask_panel(
+                        self.filters[dbg['filter_id']], step_input,
+                        np.asarray(traj.mask_params[k, b])))
 
             def hcat(row):
                 return np.hstack([np.pad(r, ((1, 1), (1, 1), (0, 0)),
                                          constant_values=1.0) for r in row])
-            rows.append(np.vstack([hcat(img_row), hcat(grad_row),
-                                   hcat(dec_row), hcat(op_row)]))
+            panel_rows = [hcat(img_row), hcat(grad_row), hcat(dec_row),
+                          hcat(op_row)]
+            if mask_row is not None:
+                panel_rows.append(hcat(mask_row))
+            rows.append(np.vstack(panel_rows))
         upper = np.vstack(rows)
 
         pool_imgs = np.asarray(jax.device_get(self.pool.images))[:n]

@@ -225,9 +225,14 @@ def _chain_kernel(ids_ref, params_ref, img_ref, out_ref, *, branches,
         h, w = grid_dims
         th, tw = tile
         shorter = float(min(h, w))
-        rows = (jax.lax.broadcasted_iota(jnp.float32, (th, tw), 0) +
+        # Mosaic requires integer iota (tpu.iota verifies int result);
+        # build int32 grids and cast — a float iota compiles only in
+        # interpreter mode and fails on-device.
+        rows = (jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)
+                .astype(jnp.float32) +
                 pl.program_id(1).astype(jnp.float32) * th)
-        cols = (jax.lax.broadcasted_iota(jnp.float32, (th, tw), 1) +
+        cols = (jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1)
+                .astype(jnp.float32) +
                 pl.program_id(2).astype(jnp.float32) * tw)
         gx = (rows + (shorter - h) / 2.0) / shorter - 0.5
         gy = (cols + (shorter - w) / 2.0) / shorter - 0.5

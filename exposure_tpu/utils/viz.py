@@ -166,6 +166,32 @@ def draw_decision_panel(pdf, selected, short_names, size=64):
     return img
 
 
+def draw_mask_panel(filter_obj, input_img, mask_params):
+    """Grayscale rendering of the spatial mask the selected filter applied
+    on this step's input image, with the 0.5-strength contour marked in
+    red — for the vignette this draws the ellipse (reference
+    visualize_mask/draw_mask, filters.py:150-167, used by
+    agent.py:141-202)."""
+    import jax.numpy as jnp
+    img = np.asarray(input_img, np.float32)[None]
+    n = filter_obj.get_num_mask_parameters()
+    mp = np.asarray(mask_params, np.float32).reshape(1, -1)[:, :n]
+    mask = np.asarray(filter_obj.get_mask(jnp.asarray(img),
+                                          jnp.asarray(mp)))
+    mask = np.broadcast_to(mask[0, :, :, 0], img.shape[1:3])
+    canvas = np.repeat(np.clip(mask, 0, 1)[:, :, None], 3,
+                       axis=2).astype(np.float32).copy()
+    over = mask > 0.5
+    edge = ((over != np.roll(over, 1, axis=0)) |
+            (over != np.roll(over, 1, axis=1)))
+    edge[0, :] = False
+    edge[:, 0] = False
+    canvas[edge] = (1.0, 0.2, 0.2)
+    _put_text(canvas, 'M %s' % filter_obj.get_short_name(), (3, 8), 0.25,
+              (1.0, 0.5, 0.2))
+    return canvas
+
+
 def draw_step_panels(filters, debug_step, size=64):
     """(decision, operation) panel pair for one trajectory step; input is
     one entry of the evaluator's debug list."""

@@ -115,3 +115,77 @@ def test_agent_step_trains_mask_heads(masked_cfg, rng):
         n = f.get_num_filter_parameters()
         total += float(np.abs(np.asarray(g[:, n:])).sum())
     assert total > 0
+
+
+@pytest.fixture(scope='module')
+def masked_trained(tmp_path_factory):
+    """Shrunken masked training smoke: masking on, Vignet+Level in the
+    bank (the config_masked setup at test scale)."""
+    from exposure_tpu.core.trainer import Trainer
+    from exposure_tpu.ops.filters import LevelFilter, VignetFilter
+    root = tmp_path_factory.mktemp('models')
+    cfg = load_config('test').copy()
+    cfg.masking = True
+    cfg.filters = list(cfg.filters) + [VignetFilter, LevelFilter]
+    cfg.num_state_dim = 3 + len(cfg.filters)
+    cfg.name = 'masked/smoke'
+    cfg.max_iter_step = 2
+    cfg.write_image_interval = 0
+    trainer = Trainer(cfg, restore=False, model_root=str(root))
+    trainer.train()
+    if trainer.tee:
+        trainer.tee.close()
+    return cfg, trainer, root
+
+
+def test_masked_training_runs(masked_trained):
+    cfg, trainer, root = masked_trained
+    assert trainer.latest_checkpoint() is not None
+
+
+def test_masked_viz_grid_has_mask_row(masked_trained):
+    import os
+    cfg, trainer, root = masked_trained
+    trainer.visualize(1)
+    path = os.path.join(trainer.image_dir, '000001.png')
+    assert os.path.exists(path)
+
+
+def test_masked_evaluator_steps_strip(masked_trained, tmp_path, rng):
+    import os
+    from exposure_tpu.core.evaluator import Evaluator
+    from exposure_tpu.utils.image_io import write_image
+    cfg, trainer, root = masked_trained
+    in_path = str(tmp_path / 'input.png')
+    write_image(in_path, rng.rand(96, 128, 3).astype(np.float32))
+    ev = Evaluator(cfg, model_root=str(root))
+    out_dir = str(tmp_path / 'outputs')
+    results = ev.eval([in_path], output_dir=out_dir, step_by_step=False)
+    assert np.isfinite(results[0]['retouched']).all()
+    # debug records carry the raw mask parameters for white-box replay
+    for d in results[0]['debug']:
+        assert 'mask_parameters' in d
+        assert d['mask_parameters'].shape[0] >= 5
+    assert os.path.exists(os.path.join(out_dir, 'input.png.steps.png'))
+
+
+def test_draw_mask_panel_vignette_contour(masked_cfg, rng):
+    # the vignette's 0.5 contour (the ellipse) must be drawn in red
+    from exposure_tpu.ops.filters import VignetFilter
+    from exposure_tpu.utils.viz import draw_mask_panel
+    f = VignetFilter(masked_cfg)
+    img = rng.rand(64, 64, 3).astype(np.float32)
+    # params that give a mid-strength elliptical mask crossing 0.5
+    panel = draw_mask_panel(f, img, np.asarray([2.0, 2.0, 1.5, -2.0, 2.0],
+                                               np.float32))
+    assert panel.shape == (64, 64, 3)
+    red = (panel[:, :, 0] > 0.9) & (panel[:, :, 1] < 0.4)
+    assert red.any(), 'no contour drawn'
+
+
+def test_config_masked_loads():
+    cfg = load_config('masked')
+    assert cfg.masking
+    names = [f.__name__ for f in cfg.filters]
+    assert 'VignetFilter' in names and 'LevelFilter' in names
+    assert cfg.num_state_dim == 3 + len(cfg.filters)
