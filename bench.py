@@ -10,6 +10,15 @@ reference does per image in net.py:796-821 but batched and fused):
 
 Prints ONE JSON line: images/sec plus vs_baseline.
 
+Flags:
+  --run <config>/<run>  benchmark a TRAINED checkpoint on images from the
+                        config's test provider (real action distribution
+                        and switch-branch mix) instead of fresh-init
+                        weights on noise images.
+  --bf16                run the policy rollout in bfloat16 (MXU-native).
+  --f32                 float32 image I/O instead of the uint8 default.
+  --no-pallas           replay through the jnp chain instead of the kernel.
+
 vs_baseline: the north-star target is >=10,000 images/sec on a v5e-8
 slice (BASELINE.md); this benchmark runs on however many chips are
 visible, so the target is pro-rated per chip (1250 img/s/chip) and
@@ -26,16 +35,37 @@ import jax
 import jax.numpy as jnp
 
 
-def build_pipeline(batch, res, use_pallas=True, u8=False):
+def _flag_value(name, default):
+    if name in sys.argv:
+        return sys.argv[sys.argv.index(name) + 1]
+    return default
+
+
+def build_pipeline(batch, res, use_pallas=True, u8=False, run=None,
+                   bf16=False):
+    import numpy as np
+
     from exposure_tpu.core.rollout import rollout
     from exposure_tpu.core.trainer import build_models, init_train_state
     from exposure_tpu.ops.chain import apply_filter_chain
     from exposure_tpu.ops.pallas_chain import pallas_apply_filter_chain
     from exposure_tpu.utils.config import load_config
 
-    cfg = load_config('example')
+    if run:
+        config_name, run_name = run.split('/', 1)
+        cfg = load_config(config_name)
+        cfg.name = run
+    else:
+        cfg = load_config('example')
     filters, policy, critic, value = build_models(cfg)
     state, _ = init_train_state(cfg, policy, critic, value, seed=0)
+    if run:
+        import os
+
+        from exposure_tpu.core.checkpoint import restore_checkpoint
+        state, step = restore_checkpoint(os.path.join('models', run), state)
+        print('# bench: restored %s at step %d' % (run, step),
+              file=sys.stderr)
 
     def pipeline(gen_params, high_res, key):
         if u8:
@@ -45,36 +75,51 @@ def build_pipeline(batch, res, use_pallas=True, u8=False):
         proxy = jax.image.resize(
             proxy_src, (batch, cfg.source_img_size, cfg.source_img_size, 3),
             method='linear')
+        if bf16:
+            proxy = proxy.astype(jnp.bfloat16)
+            gen_params = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16), gen_params)
         traj = rollout(policy, gen_params, proxy, key, cfg=cfg,
                        filters=filters, is_train=0)
+        params = traj.params.astype(jnp.float32)
         if use_pallas:
             out = pallas_apply_filter_chain(high_res, traj.filter_ids,
-                                            traj.params, filters)
+                                            params, filters)
         else:
             out = apply_filter_chain(proxy_src if u8 else high_res,
-                                     traj.filter_ids, traj.params, filters)
+                                     traj.filter_ids, params, filters)
         return out
 
     fn = jax.jit(pipeline)
     rng = jax.random.PRNGKey(0)
-    imgs = jax.random.uniform(rng, (batch, res, res, 3),
-                              jnp.float32) * 0.8
+    if run:
+        # representative content: the run's own held-out inputs, upsampled
+        # to the benchmark resolution on the host (one-time cost)
+        prov = cfg.fake_data_provider_test()
+        base, _ = prov.get_next_batch(batch)
+        imgs = jnp.asarray(np.clip(base, 0.0, 1.0))
+        imgs = jax.image.resize(imgs, (batch, res, res, 3), method='linear')
+    else:
+        imgs = jax.random.uniform(rng, (batch, res, res, 3),
+                                  jnp.float32) * 0.8
     if u8:
         imgs = (imgs * 255).astype(jnp.uint8)
     return fn, state.gen_params, imgs, rng
 
 
 def main():
-    batch = int(sys.argv[sys.argv.index('--batch') + 1]) \
-        if '--batch' in sys.argv else 512
+    batch = int(_flag_value('--batch', 512))
     res = 512
     use_pallas = '--no-pallas' not in sys.argv
     # Default: real serving I/O — standard 8-bit images in/out (all filter
     # math in f32 on device); pass --f32 for a float32-I/O pipeline.
     u8 = '--f32' not in sys.argv
+    run = _flag_value('--run', None)
+    bf16 = '--bf16' in sys.argv
     n_chips = len(jax.devices())
 
-    fn, params, imgs, rng = build_pipeline(batch, res, use_pallas, u8)
+    fn, params, imgs, rng = build_pipeline(batch, res, use_pallas, u8,
+                                           run=run, bf16=bf16)
 
     # warmup / compile
     out = fn(params, imgs, rng)
@@ -94,9 +139,10 @@ def main():
 
     img_per_sec = batch * iters / best_dt
     target = 1250.0 * n_chips
+    tags = ('' if not u8 else '_u8io') + ('_bf16' if bf16 else '') + \
+        ('_trained' if run else '')
     print(json.dumps({
-        'metric': '512px_images_per_sec_5step_inference%s' %
-                  ('' if not u8 else '_u8io'),
+        'metric': '512px_images_per_sec_5step_inference%s' % tags,
         'value': round(img_per_sec, 2),
         'unit': 'images/sec',
         'vs_baseline': round(img_per_sec / target, 4),

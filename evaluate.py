@@ -26,6 +26,10 @@ def evaluate():
     parser.add_argument('--batched', action='store_true',
                         help='batch inputs by resolution (one rollout + '
                              'one fused replay per resolution group)')
+    parser.add_argument('--u8', action='store_true',
+                        help='with --batched: replay through the fused '
+                             'kernel\'s uint8 serving path (fastest; '
+                             'trades sub-1/255 shadow precision)')
     args = parser.parse_args()
 
     snapshot = os.path.join('models', args.config, args.model_name,
@@ -43,7 +47,7 @@ def evaluate():
     ev = Evaluator(cfg, ckpt=args.ckpt)
     if args.batched:
         ev.eval_batched(spec_files=args.images,
-                        output_dir=args.output_dir)
+                        output_dir=args.output_dir, u8=args.u8)
     else:
         ev.eval(spec_files=args.images, output_dir=args.output_dir,
                 step_by_step=not args.no_step_by_step)

@@ -85,7 +85,8 @@ class Evaluator:
         evaluates all filters and selects) on CPU."""
         return jax.devices()[0].platform != 'cpu'
 
-    def _chain_fn(self, shape):
+    def _chain_fn(self, shape, dtype=jnp.float32):
+        shape = (tuple(shape), jnp.dtype(dtype).name)
         if shape not in self._chain_cache:
             if self._use_pallas():
                 from exposure_tpu.ops.pallas_chain import (
@@ -152,12 +153,24 @@ class Evaluator:
 
     # ------------------------------------------------------------------
     def eval_batched(self, spec_files, output_dir='./outputs', seed=0,
-                     show_linear=True, show_input=True):
+                     show_linear=True, show_input=True, u8=False):
         """Batch-process inputs grouped by resolution: ONE rollout call
         for all proxies and one fused chain replay per resolution group.
         (The reference flags this as an unimplemented TODO,
-        evaluate.py:15-18.)"""
+        evaluate.py:15-18.)
+
+        ``u8=True`` replays through the fused kernel's uint8 fixed-point
+        serving path (4x less HBM traffic; filter math stays f32
+        in-kernel).  The linearized input is quantized to 8 bits first,
+        so deep-shadow precision below 1/255 is traded for speed —
+        within 1 u8 LSB of the f32 path on its own quantization grid
+        (tests/test_pallas_chain.py::test_uint8_serving_path).  Falls
+        back to f32 on CPU, where the fused kernel is unavailable."""
         os.makedirs(output_dir, exist_ok=True)
+        use_u8 = u8 and self._use_pallas()
+        if u8 and not use_u8:
+            print('# --u8 requested but the fused kernel is unavailable '
+                  'on CPU; using the f32 chain')
         images = [load_linear_image(fn) for fn in spec_files]
         proxies = np.stack([
             downsample_to_proxy(im, self.cfg.source_img_size)
@@ -170,16 +183,22 @@ class Evaluator:
         for i, im in enumerate(images):
             by_res.setdefault(im.shape, []).append(i)
         for shape, idxs in by_res.items():
-            batch = jnp.asarray(np.stack([images[i] for i in idxs]))
+            stacked = np.stack([images[i] for i in idxs])
+            if use_u8:
+                stacked = (np.clip(stacked, 0, 1) * 255.0 +
+                           0.5).astype(np.uint8)
+            batch = jnp.asarray(stacked)
             sub_traj = traj._replace(
                 filter_ids=traj.filter_ids[:, np.asarray(idxs)],
                 params=traj.params[:, np.asarray(idxs)],
                 mask_params=traj.mask_params[:, np.asarray(idxs)])
-            fn = self._chain_fn(batch.shape)
+            fn = self._chain_fn(batch.shape, batch.dtype)
             outs = np.asarray(fn(batch, sub_traj.filter_ids,
                                  sub_traj.params,
                                  active[:, np.asarray(idxs)],
                                  sub_traj.mask_params))
+            if use_u8:
+                outs = outs.astype(np.float32) / 255.0
             for j, i in enumerate(idxs):
                 base = os.path.basename(spec_files[i])
                 if show_linear:

@@ -7,6 +7,14 @@ chain replay — in a single jitted call per resolution.  Accepts uint8
 (standard 8-bit images; fastest — 4x less HBM traffic) or float32 in the
 linear [0, 1] domain.
 
+Options:
+- ``bf16=True`` runs the policy rollout in bfloat16 (MXU-native; filter
+  replay parameters are cast back to f32 so the full-resolution math is
+  unchanged).  Serving uses argmax selection, which is robust to the
+  reduced pdf precision.
+- masking configs are supported: recorded mask parameters ride along and
+  the fused kernel evaluates the spatial masks in-kernel.
+
 >>> pipe = RetouchPipeline.from_run(cfg)          # or (cfg, state=...)
 >>> out_u8 = pipe(np.stack(imgs_u8))              # [B, H, W, 3] uint8
 """
@@ -24,7 +32,8 @@ from exposure_tpu.ops.pallas_chain import pallas_apply_filter_chain
 
 class RetouchPipeline:
 
-    def __init__(self, cfg, state, use_pallas=None, interpret=False):
+    def __init__(self, cfg, state, use_pallas=None, interpret=False,
+                 bf16=False):
         self.cfg = cfg
         self.filters, self.policy, _, _ = build_models(cfg)
         self.state = state
@@ -32,6 +41,7 @@ class RetouchPipeline:
             use_pallas = jax.devices()[0].platform != 'cpu'
         self.use_pallas = use_pallas
         self.interpret = interpret
+        self.bf16 = bf16
         self._fns = {}
 
     @classmethod
@@ -48,6 +58,7 @@ class RetouchPipeline:
         cfg = self.cfg
         batch = shape[0]
         quantized = dtype == jnp.uint8
+        masking = bool(cfg.masking)
 
         def fn(gen_params, images, key):
             if quantized:
@@ -58,14 +69,21 @@ class RetouchPipeline:
                 proxy_src,
                 (batch, cfg.source_img_size, cfg.source_img_size, 3),
                 method='linear')
+            if self.bf16:
+                proxy = proxy.astype(jnp.bfloat16)
+                gen_params = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.bfloat16), gen_params)
             traj = rollout(self.policy, gen_params, proxy, key, cfg=cfg,
                            filters=self.filters, is_train=0)
+            params = traj.params.astype(jnp.float32)
+            mask = traj.mask_params.astype(jnp.float32) if masking else None
             if self.use_pallas:
                 return pallas_apply_filter_chain(
-                    images, traj.filter_ids, traj.params, self.filters,
-                    interpret=self.interpret)
+                    images, traj.filter_ids, params, self.filters,
+                    mask_params=mask, interpret=self.interpret)
             out = apply_filter_chain(proxy_src, traj.filter_ids,
-                                     traj.params, self.filters)
+                                     params, self.filters,
+                                     mask_params=mask)
             if quantized:
                 out = jnp.round(jnp.clip(out, 0, 1) * 255).astype(
                     jnp.uint8)

