@@ -245,6 +245,12 @@ class Evaluator:
                                  traj.mask_params[i])
                     if i < int(applied[0]) - 1:
                         save('intermediate%02d' % i, np.asarray(img[0]))
+                    if self.cfg.get('vis_step_test', False):
+                        # live per-step window (reference net.py:815-818
+                        # step visualization); headless-safe
+                        from exposure_tpu.core.trainer import _show_realtime
+                        _show_realtime(np.asarray(img[0]),
+                                       'step %d: %s' % (i, base))
                 retouched = np.asarray(img[0])
             else:
                 retouched = self.retouch(high_res[None], traj)[0]

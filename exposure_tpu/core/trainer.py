@@ -32,6 +32,24 @@ from exposure_tpu.utils import MedianWindow, MetricLogger, Tee
 from exposure_tpu.utils.image_io import make_image_grid, write_image
 
 
+_REALTIME_VIS_FAILED = [False]
+
+
+def _show_realtime(img, title):
+    """Live visualization window (reference net.py:547-549's cv2 window);
+    degrades to a one-time notice on headless machines."""
+    if _REALTIME_VIS_FAILED[0]:
+        return
+    try:
+        import cv2
+        bgr = (np.clip(img[..., ::-1], 0, 1) * 255).astype(np.uint8)
+        cv2.imshow(title, bgr)
+        cv2.waitKey(1)
+    except Exception as e:
+        _REALTIME_VIS_FAILED[0] = True
+        print('# realtime_vis unavailable (%s); continuing headless' % e)
+
+
 def pool_health_warning(citers, supervised, terminated_frac):
     """Guard against the silent failure mode where the critic trains
     while the replay pool holds no terminated records: our
@@ -510,3 +528,5 @@ class Trainer:
                          padw(lower)])
         write_image(os.path.join(self.image_dir, '%06d.png' % it),
                     np.clip(img, 0, 1))
+        if cfg.get('realtime_vis', False):
+            _show_realtime(img, 'exposure_tpu: ' + cfg.name)
