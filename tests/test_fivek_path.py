@@ -1,0 +1,136 @@
+"""Exercise the REAL FiveK data path end to end on generated artifacts.
+
+The genuine MIT-Adobe FiveK download needs network egress; these tests
+build a layout-faithful miniature of the dataset tree on disk — 16-bit
+Lightroom-style TIFF exports, the preprocessed 80x80 RAW pack, fold id
+files, and artist JPEGs — and run the exact production code path over it:
+``preprocess_raw_aug`` -> ``image_raw.npy``/``meta_raw.pkl`` ->
+``FiveKDataProvider`` (fold filtering) and ``ArtistDataProvider``
+(2k_target selection), up to the flagship ``config_example`` provider
+lambdas.  The only thing left untested is the download itself
+(tools/fetch_fivek.py URLs)."""
+
+import os
+import pickle
+
+import imageio.v2 as imageio
+import numpy as np
+import pytest
+
+from exposure_tpu.data.fivek import (
+    AUGMENTATION_FACTOR,
+    FiveKDataProvider,
+    preprocess_raw_aug,
+)
+
+N_IMAGES = 6
+
+
+@pytest.fixture(scope='module')
+def fivek_tree(tmp_path_factory):
+    """A miniature FiveK dataset tree with the real on-disk layout."""
+    rng = np.random.RandomState(0)
+    root = tmp_path_factory.mktemp('fivek_root')
+
+    src = root / 'data' / 'fivek_dataset' / \
+        'FiveK_Lightroom_Export_InputDayLight'
+    src.mkdir(parents=True)
+    for i in range(N_IMAGES):
+        img16 = (rng.rand(100, 120, 3) * 65535).astype(np.uint16)
+        imageio.imwrite(str(src / ('a%04d.tif' % (i + 1))), img16)
+
+    folds = root / 'data' / 'folds'
+    folds.mkdir(parents=True)
+    (folds / 'FiveK_train_first2k.txt').write_text('1\n2\n3\n')
+    (folds / 'FiveK_test.txt').write_text('4\n')
+    (folds / 'FiveK_train_second2k.txt').write_text('5\n6\n')
+    (folds / 'FiveK_test_AMT.txt').write_text('4\n')
+
+    artists = root / 'data' / 'artists' / 'FiveK_C'
+    artists.mkdir(parents=True)
+    for i in range(N_IMAGES):
+        img8 = (rng.rand(90, 110, 3) * 255).astype(np.uint8)
+        imageio.imwrite(str(artists / ('a%04d.jpg' % (i + 1))), img8)
+
+    return root
+
+
+@pytest.fixture(scope='module')
+def built_pack(fivek_tree):
+    src = str(fivek_tree / 'data' / 'fivek_dataset' /
+              'FiveK_Lightroom_Export_InputDayLight')
+    out = str(fivek_tree / 'data' / 'fivek_dataset' /
+              'sup_batched80aug_daylight')
+    images = preprocess_raw_aug(source_dir=src, batched_dir=out)
+    return out, images
+
+
+def test_preprocess_builds_reference_layout(built_pack):
+    out, images = built_pack
+    assert images.shape == (N_IMAGES * AUGMENTATION_FACTOR, 80, 80, 3)
+    assert images.dtype == np.float32
+    assert np.isfinite(images).all() and images.min() >= 0
+    pack = np.load(os.path.join(out, 'image_raw.npy'))
+    assert pack.shape == images.shape
+    with open(os.path.join(out, 'meta_raw.pkl'), 'rb') as f:
+        meta = pickle.load(f)
+    assert len(meta['filenames']) == N_IMAGES
+
+
+def test_fivek_provider_full_path(fivek_tree, built_pack):
+    # the production constructor: pack load + fold filter + provider
+    FiveKDataProvider._raw_image_pack = None  # reset the class cache
+    try:
+        dp = FiveKDataProvider(set_name='2k_train',
+                               data_root=str(fivek_tree),
+                               output_size=64, augmentation=0.3,
+                               default_batch_size=8)
+        # 3 fold ids x 4 crops
+        assert dp.num_images == 3 * AUGMENTATION_FACTOR
+        batch, feats = dp.get_next_batch(8)
+        assert batch.shape == (8, 64, 64, 3)
+        assert np.isfinite(batch).all()
+        pack = dp.device_pack()
+        assert pack.images.shape[1:] == (80, 80, 3)
+
+        dp_test = FiveKDataProvider(set_name='u_test',
+                                    data_root=str(fivek_tree),
+                                    output_size=64, augmentation=0.0,
+                                    default_batch_size=4)
+        assert dp_test.num_images == 1 * AUGMENTATION_FACTOR
+    finally:
+        FiveKDataProvider._raw_image_pack = None
+
+
+def test_artist_provider_full_path(fivek_tree):
+    from exposure_tpu.data.artist import ArtistDataProvider
+    dp = ArtistDataProvider(set_name='2k_target',
+                            data_root=str(fivek_tree),
+                            output_size=64, augmentation=1.0,
+                            default_batch_size=8)
+    # 2 fold files x augmentation_factor 4 crops
+    assert dp.num_images == 2 * 4
+    batch, _ = dp.get_next_batch(8)
+    assert batch.shape == (8, 64, 64, 3)
+
+
+def test_flagship_config_provider_lambdas(fivek_tree, built_pack,
+                                          monkeypatch):
+    # the exact provider wiring of config_example, against the miniature
+    # tree (the reference workflow's first step, net.py train path)
+    from exposure_tpu.utils.config import load_config
+    FiveKDataProvider._raw_image_pack = None
+    monkeypatch.chdir(str(fivek_tree))
+    try:
+        cfg = load_config('example')
+        fake = cfg.fake_data_provider()
+        real = cfg.real_data_provider()
+        test = cfg.fake_data_provider_test()
+        b, _ = fake.get_next_batch(cfg.batch_size)
+        assert b.shape == (cfg.batch_size, 64, 64, 3)
+        r, _ = real.get_next_batch(16)
+        assert r.shape == (16, 64, 64, 3)
+        t, _ = test.get_next_batch(4)
+        assert t.shape == (4, 64, 64, 3)
+    finally:
+        FiveKDataProvider._raw_image_pack = None
