@@ -42,7 +42,7 @@ def _flag_value(name, default):
 
 
 def build_pipeline(batch, res, use_pallas=True, u8=False, run=None,
-                   bf16=False):
+                   bf16=False, kernel_bf16=False):
     import numpy as np
 
     from exposure_tpu.core.rollout import rollout
@@ -83,8 +83,10 @@ def build_pipeline(batch, res, use_pallas=True, u8=False, run=None,
                        filters=filters, is_train=0)
         params = traj.params.astype(jnp.float32)
         if use_pallas:
-            out = pallas_apply_filter_chain(high_res, traj.filter_ids,
-                                            params, filters)
+            out = pallas_apply_filter_chain(
+                high_res, traj.filter_ids, params, filters,
+                compute_dtype=jnp.bfloat16 if kernel_bf16
+                else jnp.float32)
         else:
             out = apply_filter_chain(proxy_src if u8 else high_res,
                                      traj.filter_ids, params, filters)
@@ -116,10 +118,12 @@ def main():
     u8 = '--f32' not in sys.argv
     run = _flag_value('--run', None)
     bf16 = '--bf16' in sys.argv
+    kernel_bf16 = '--kernel-bf16' in sys.argv
     n_chips = len(jax.devices())
 
     fn, params, imgs, rng = build_pipeline(batch, res, use_pallas, u8,
-                                           run=run, bf16=bf16)
+                                           run=run, bf16=bf16,
+                                           kernel_bf16=kernel_bf16)
 
     # warmup / compile
     out = fn(params, imgs, rng)
@@ -140,7 +144,7 @@ def main():
     img_per_sec = batch * iters / best_dt
     target = 1250.0 * n_chips
     tags = ('' if not u8 else '_u8io') + ('_bf16' if bf16 else '') + \
-        ('_trained' if run else '')
+        ('_kbf16' if kernel_bf16 else '') + ('_trained' if run else '')
     print(json.dumps({
         'metric': '512px_images_per_sec_5step_inference%s' % tags,
         'value': round(img_per_sec, 2),

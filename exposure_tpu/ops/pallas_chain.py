@@ -216,7 +216,8 @@ def planar_branches(filters, mask_offset=None):
 
 
 def _chain_kernel(ids_ref, params_ref, img_ref, out_ref, *, branches,
-                  num_steps, max_p, grid_dims, tile):
+                  num_steps, max_p, grid_dims, tile,
+                  compute_dtype=jnp.float32):
     bi = pl.program_id(0)
     quantized = img_ref.dtype == jnp.uint8
     if grid_dims is not None:
@@ -240,22 +241,28 @@ def _chain_kernel(ids_ref, params_ref, img_ref, out_ref, *, branches,
         gx = gy = jnp.zeros((1, 1), jnp.float32)
     if quantized:
         # Serving fast path: fixed-point [0,1] in uint8 — 4x less HBM
-        # traffic than f32 on a bandwidth-bound kernel; all math in f32.
+        # traffic than f32 on a bandwidth-bound kernel; math in
+        # ``compute_dtype`` (f32 default; bf16 opt-in packs the VPU 2x).
         # Mosaic has no direct u8<->f32 cast; hop through int32.
         def dq(x):
-            return x.astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
+            return (x.astype(jnp.int32).astype(jnp.float32) *
+                    (1.0 / 255.0)).astype(compute_dtype)
         r = dq(img_ref[0, 0])
         g = dq(img_ref[0, 1])
         b = dq(img_ref[0, 2])
     else:
-        r = img_ref[0, 0]
-        g = img_ref[0, 1]
-        b = img_ref[0, 2]
+        r = img_ref[0, 0].astype(compute_dtype)
+        g = img_ref[0, 1].astype(compute_dtype)
+        b = img_ref[0, 2].astype(compute_dtype)
+    if grid_dims is not None:
+        gx = gx.astype(compute_dtype)
+        gy = gy.astype(compute_dtype)
     for k in range(num_steps):
         fid = ids_ref[bi, k]
         # SMEM supports scalar loads only: read the packed parameter row
         # element-wise (static unroll) into a python list of scalars.
-        p = [params_ref[bi, k, j] for j in range(max_p)]
+        p = [params_ref[bi, k, j].astype(compute_dtype)
+             for j in range(max_p)]
 
         def make_branch(fn):
             def run(operands):
@@ -267,9 +274,14 @@ def _chain_kernel(ids_ref, params_ref, img_ref, out_ref, *, branches,
                                  (r, g, b))
     if quantized:
         def q(x):
+            x = x.astype(jnp.float32)  # quantize at full precision
             return jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0).astype(
                 jnp.int32).astype(jnp.uint8)
         r, g, b = q(r), q(g), q(b)
+    else:
+        r = r.astype(img_ref.dtype)
+        g = g.astype(img_ref.dtype)
+        b = b.astype(img_ref.dtype)
     out_ref[0, 0] = r
     out_ref[0, 1] = g
     out_ref[0, 2] = b
@@ -280,7 +292,7 @@ def _round_up(x, m):
 
 
 def _chain_call(planar, ids, params, branches, tile, interpret,
-                grid_dims=None):
+                grid_dims=None, compute_dtype=jnp.float32):
     """One pallas_call on a batch chunk (ids/params whole in SMEM)."""
     b, _, hp, wp = planar.shape
     num_steps = ids.shape[1]
@@ -288,7 +300,8 @@ def _chain_call(planar, ids, params, branches, tile, interpret,
     th, tw = tile
     kernel = functools.partial(_chain_kernel, branches=branches,
                                num_steps=num_steps, max_p=max_p,
-                               grid_dims=grid_dims, tile=tile)
+                               grid_dims=grid_dims, tile=tile,
+                               compute_dtype=compute_dtype)
     return pl.pallas_call(
         kernel,
         grid=(b, hp // th, wp // tw),
@@ -308,7 +321,8 @@ def _chain_call(planar, ids, params, branches, tile, interpret,
 def pallas_apply_filter_chain(img, filter_ids, packed_params, filters,
                               active_steps=None, mask_params=None,
                               tile=(256, 256), batch_chunk=8,
-                              interpret=False):
+                              interpret=False,
+                              compute_dtype=jnp.float32):
     """Fused chain replay.
 
     Args:
@@ -323,6 +337,11 @@ def pallas_apply_filter_chain(img, filter_ids, packed_params, filters,
       batch_chunk: images per pallas_call — bounds the SMEM footprint of
         the per-image trajectory scalars.
       interpret: run in interpreter mode (CPU testing).
+      compute_dtype: in-kernel pixel math precision.  f32 (default)
+        matches the jnp chain bit-near; jnp.bfloat16 packs the VPU 2x for
+        the compute-bound branches (pow/HSV) at ~0.4% relative error —
+        an opt-in serving trade (measure with tools/bench_filters.py,
+        verify with tools/verify_kernel.py).
 
     Returns: [B, H, W, 3] float32.
     """
@@ -360,7 +379,8 @@ def pallas_apply_filter_chain(img, filter_ids, packed_params, filters,
         e = min(s + batch_chunk, b)
         outs.append(_chain_call(planar[s:e], ids[s:e], params[s:e],
                                 branches, (th, tw), interpret,
-                                grid_dims=grid_dims))
+                                grid_dims=grid_dims,
+                                compute_dtype=compute_dtype))
     out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     out = out[:, :, :h, :w]
     return jnp.transpose(out, (0, 2, 3, 1))

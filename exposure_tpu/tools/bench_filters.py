@@ -31,6 +31,7 @@ def main():
     parser.add_argument('--steps', type=int, default=5)
     parser.add_argument('--iters', type=int, default=5)
     parser.add_argument('--f32', action='store_true')
+    parser.add_argument('--kernel-bf16', action='store_true')
     parser.add_argument('--interpret', action='store_true')
     parser.add_argument('--cpu', action='store_true')
     args = parser.parse_args()
@@ -48,8 +49,10 @@ def main():
     img = jnp.asarray(imgf if args.f32 else
                       (imgf * 255).round().astype(np.uint8))
 
+    cdt = jnp.bfloat16 if args.kernel_bf16 else jnp.float32
     fn = jax.jit(lambda im, ids, params: pallas_apply_filter_chain(
-        im, ids, params, filters, interpret=args.interpret))
+        im, ids, params, filters, interpret=args.interpret,
+        compute_dtype=cdt))
 
     results = {}
     for fid, f in enumerate(filters):
@@ -81,6 +84,7 @@ def main():
         'shape': [b, res, res],
         'steps': k,
         'dtype': 'f32' if args.f32 else 'u8',
+        'compute': 'bf16' if args.kernel_bf16 else 'f32',
         'per_filter': results,
     }))
 

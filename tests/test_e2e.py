@@ -120,3 +120,18 @@ def test_chain_replay_matches_lowres_rollout(trained):
                                   traj.params, trainer.filters)
     np.testing.assert_allclose(np.asarray(replayed),
                                np.asarray(traj.final_image), atol=2e-4)
+
+
+def test_evaluator_batched_u8_fallback(trained, tmp_path, capsys):
+    # on CPU the fused kernel is unavailable: --u8 must fall back to the
+    # f32 chain and still produce valid outputs
+    cfg, trainer, root = trained
+    rng = np.random.RandomState(2)
+    p = str(tmp_path / 'in.png')
+    write_image(p, rng.rand(96, 128, 3).astype(np.float32))
+    from exposure_tpu.core.evaluator import Evaluator
+    ev = Evaluator(cfg, model_root=str(root))
+    results = ev.eval_batched([p], output_dir=str(tmp_path / 'o'), u8=True)
+    assert results[0]['retouched'].shape == (96, 128, 3)
+    assert np.isfinite(results[0]['retouched']).all()
+    assert 'fused kernel is unavailable' in capsys.readouterr().out

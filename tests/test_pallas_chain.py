@@ -142,3 +142,20 @@ def test_every_single_filter_matches(rng, cfg, filters):
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(expected), atol=3e-5, rtol=1e-4,
             err_msg='filter %s' % f.get_short_name())
+
+
+def test_bf16_compute_mode(rng, cfg, filters):
+    # opt-in bf16 in-kernel math: same chain within bf16 precision
+    img8 = (rng.rand(2, 64, 128, 3) * 255).astype(np.uint8)
+    ids, params = random_trajectory(rng, filters, 5, 2)
+    f32 = pallas_apply_filter_chain(jnp.asarray(img8), ids, params,
+                                    filters, tile=(32, 128),
+                                    interpret=True)
+    bf16 = pallas_apply_filter_chain(jnp.asarray(img8), ids, params,
+                                     filters, tile=(32, 128),
+                                     interpret=True,
+                                     compute_dtype=jnp.bfloat16)
+    diff = np.abs(np.asarray(f32).astype(np.int32) -
+                  np.asarray(bf16).astype(np.int32))
+    assert diff.max() <= 8, diff.max()  # ~0.4% relative over 5 steps
+    assert diff.mean() < 2.0
