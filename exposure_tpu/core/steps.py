@@ -234,6 +234,111 @@ def build_outer_step(cfg, policy, critic_mod, value_mod, filters, tx, mesh,
     return jax.jit(mapped)
 
 
+def build_fused_iterations_step(cfg, policy, critic_mod, value_mod,
+                                filters, tx, mesh, fake_meta, real_meta,
+                                giters, citers, n_iters):
+    """Compile N plain outer iterations into ONE dispatch.
+
+    The remote-dispatch latency between host and TPU dominates when the
+    device-side iteration is ~ms (the tunnel here adds tens of ms per
+    call); `lax.scan`-ing the whole iteration amortizes it N-fold.
+
+    RNG parity: each scanned iteration folds keys exactly like the
+    Trainer's per-iteration dispatch pair — g-phase key
+    ``fold_in(fold_in(base, it), 0)``, c-phase key
+    ``fold_in(fold_in(base, it), 1)``, each axis-folded inside the
+    shard — so a fused chunk is BIT-IDENTICAL to the same iterations
+    dispatched one by one (tests/test_train_step.py::
+    test_fused_iterations_match_sequential).
+
+    Call signature:
+      step(state, pool, fake_images, real_images, base_key,
+           iter_idx [N] int32, lr_gs [N], lr_cs [N], progresses [N])
+    Returns (state, pool, metrics-of-last-iteration).
+    """
+    n_dev = _check_divisibility(cfg, mesh)
+    local_batch = cfg.batch_size // n_dev
+    supervised = bool(cfg.get('supervised', False))
+    if supervised:
+        assert citers == 0, 'supervised mode has no critic updates'
+    fake_size, fake_augment = fake_meta
+    real_size, real_augment = real_meta
+    img_channels = cfg.get('real_img_channels', 3)
+    g_update, c_update = _make_phase_bodies(
+        cfg, policy, critic_mod, value_mod, filters, tx, local_batch)
+
+    def sharded_step(state, pool, fake_images, real_images, base_key,
+                     iter_idx, lr_gs, lr_cs, progresses):
+        axis = jax.lax.axis_index(DATA_AXIS)
+        local_pool = pool.size
+
+        def sample_fake(k, n):
+            batch = sample_batch(
+                DevicePack(fake_images, fake_size, fake_augment), k, n)
+            if supervised:
+                return channels_to_paired(batch, img_channels)
+            return batch, None
+
+        def one_iteration(st, pl, it, lr_g, lr_c, progress):
+            it_key = jax.random.fold_in(base_key, it)
+            # --- g phase: identical folding to a (giters, 0) dispatch
+            gk = jax.random.fold_in(jax.random.fold_in(it_key, 0), axis)
+
+            def g_body(carry, k):
+                st_, pl_ = carry
+                k_sel, k_f1, k_f2, k_f3, k_step, k_keep = \
+                    jax.random.split(k, 6)
+                triplet = (sample_fake(k_f1, local_batch),
+                           sample_fake(k_f2, local_batch),
+                           sample_fake(k_f3, local_pool))
+                st_, pl_, outs = g_update(st_, pl_, triplet,
+                                          (k_sel, k_step, k_keep), lr_g,
+                                          progress)
+                return (st_, pl_), outs
+
+            g_keys = jax.random.split(jax.random.fold_in(gk, 1), giters)
+            (st, pl), g_outs = jax.lax.scan(g_body, (st, pl), g_keys)
+
+            c_outs = None
+            if citers > 0:
+                # --- c phase: identical folding to a (0, citers) dispatch
+                ck = jax.random.fold_in(
+                    jax.random.fold_in(it_key, 1), axis)
+
+                def c_body(st_, k):
+                    k_real, k_fake, k_gp = jax.random.split(k, 3)
+                    real_b = sample_batch(
+                        DevicePack(real_images, real_size, real_augment),
+                        k_real, local_batch)
+                    return c_update(st_, pl, real_b, (k_fake, k_gp), lr_c)
+
+                c_keys = jax.random.split(jax.random.fold_in(ck, 2),
+                                          citers)
+                st, c_outs = jax.lax.scan(c_body, st, c_keys)
+            return _finalize(st, pl, g_outs, c_outs, citers)
+
+        def body(carry, xs):
+            st, pl = carry
+            it, lr_g, lr_c, prog = xs
+            st, pl, metrics = one_iteration(st, pl, it, lr_g, lr_c, prog)
+            return (st, pl), metrics
+
+        (state, pool), all_metrics = jax.lax.scan(
+            body, (state, pool), (iter_idx, lr_gs, lr_cs, progresses))
+        last = jax.tree_util.tree_map(lambda x: x[-1], all_metrics)
+        return state, pool, last
+
+    mapped = jax.shard_map(
+        sharded_step,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(), P(),
+                  P(), P(), P()),
+        out_specs=(P(), P(DATA_AXIS), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
 def build_streaming_outer_step(cfg, policy, critic_mod, value_mod, filters,
                                tx, mesh, giters, citers):
     """Compile the streaming train step: fresh data arrives per call.

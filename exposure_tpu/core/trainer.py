@@ -50,6 +50,37 @@ def _show_realtime(img, title):
         print('# realtime_vis unavailable (%s); continuing headless' % e)
 
 
+def plan_fused_chunk(it, cfg, n_fuse, supervised):
+    """How many consecutive iterations starting at ``it`` can run in one
+    fused dispatch without crossing a schedule or bookkeeping boundary.
+
+    Returns 1 (single-dispatch path) for special iterations (warmup,
+    critic bursts) and otherwise the largest c <= n_fuse such that
+    [it, it+c) contains no burst iteration and ends exactly on a
+    logging boundary (multiples of 10) without crossing checkpoint or
+    visualization boundaries."""
+    def special(i):
+        if i == 0:
+            return True
+        if supervised:
+            return False
+        return cfg.gan == 'w' and (i < cfg.critic_initialization or
+                                   i % 500 == 0)
+
+    if n_fuse <= 1 or special(it):
+        return 1
+    end = min(it + n_fuse - 1,               # chunk budget
+              ((it // 10) + 1) * 10,         # end ON a logging boundary
+              cfg.max_iter_step)
+    ckpt = cfg.get('checkpoint_interval', 500)
+    for j in range(it, end + 1):
+        if j > it and special(j):
+            return j - it
+        if (j + 1) % ckpt == 0 and j < end:
+            return j - it + 1              # end ON the checkpoint iter
+    return end - it + 1
+
+
 def pool_health_warning(citers, supervised, terminated_frac):
     """Guard against the silent failure mode where the critic trains
     while the replay pool holds no terminated records: our
@@ -252,12 +283,29 @@ class Trainer:
         g_pool = MedianWindow(cfg.median_filter_size)
         v_pool = MedianWindow(cfg.median_filter_size)
         emd_pool = MedianWindow(cfg.median_filter_size)
-        metrics = None
+        metrics_last = None
         base_key = jax.random.PRNGKey(cfg.get('seed', 0) + 1)
         start_iter = int(self.state.step)
 
-        for it in range(start_iter, cfg.max_iter_step + 1):
+        n_fuse = 1 if self.streaming else \
+            int(cfg.get('iters_per_dispatch', 1))
+        it = start_iter
+        while it <= cfg.max_iter_step:
             iter_t = time.time()
+            chunk = plan_fused_chunk(it, cfg, n_fuse, self.supervised)
+            if chunk > 1:
+                citers = cfg.citers if not self.supervised else 0
+                metrics = self._run_fused(it, chunk, base_key)
+                it_end = it + chunk - 1
+                self.state = self.state.replace(step=jnp.int32(it_end + 1))
+                it = it_end
+                self._post_iteration(it, iter_t, chunk, citers, metrics,
+                                     g_pool, v_pool, emd_pool, start_t,
+                                     start_iter)
+                metrics_last = metrics
+                it += 1
+                continue
+
             progress = it / cfg.max_iter_step
             if self.supervised:
                 # no discriminator updates in supervised mode
@@ -316,61 +364,96 @@ class Trainer:
                     pool_avg_trajectory=c_metrics.pool_avg_trajectory,
                     pool_terminated_frac=c_metrics.pool_terminated_frac)
             self.state = self.state.replace(step=jnp.int32(it + 1))
+            self._post_iteration(it, iter_t, 1, citers, metrics, g_pool,
+                                 v_pool, emd_pool, start_t, start_iter)
+            metrics_last = metrics
+            it += 1
 
-            if it % 10 == 0:
-                m = jax.device_get(metrics)
-                if not all(np.isfinite(v) for v in m):
-                    # failure detection: surface divergence immediately
-                    # with a diagnostic dump instead of training on NaNs
-                    dump = os.path.join(self.dir,
-                                        'diverged-%06d.msgpack' % it)
-                    save_checkpoint(self.dir, self.state, it, keep=10)
-                    raise FloatingPointError(
-                        'non-finite training metrics at iter %d: %s '
-                        '(state dumped near %s)' % (it, m, dump))
-                warn = pool_health_warning(citers, self.supervised,
-                                           m.pool_terminated_frac)
-                if warn:
-                    print('# WARNING (it %d): %s' % (it, warn))
-                g_pool.add(m.g_loss)
-                v_pool.add(m.v_loss)
-                emd_pool.add(m.emd)
-                ms = 1000 * (time.time() - iter_t)
-                print('it%6d,%5.0f ms/it, g_loss=%.2f, v_loss=%.2f, '
-                      'EMD=%.3f, cgn=%.2f' %
-                      (it, ms, g_pool.median(), v_pool.median(),
-                       emd_pool.median(), m.critic_gradient_norm))
-                self._logger.log(it, g_loss=m.g_loss, v_loss=m.v_loss,
-                                 emd=m.emd, cgn=m.critic_gradient_norm,
-                                 reward=m.reward,
-                                 pool_avg_traj=m.pool_avg_trajectory,
-                                 pool_term_frac=m.pool_terminated_frac,
-                                 ms_per_iter=ms)
+        return metrics_last
 
-            if it % 100 == 0:
-                m = jax.device_get(metrics)
-                ela = (time.time() - start_t) / 60.0
-                eta = (time.time() - start_t) / (it - start_iter + 1) / \
-                    3600 * (cfg.max_iter_step - it)
-                print('#--------------------------------------------')
-                print('# Task: %s  ela. %.2f min  ETA: %.1f h' %
-                      (cfg.name, ela, eta))
-                print('# Replay pool: avg. traj. %.2f, terminated %.0f%%' %
-                      (m.pool_avg_trajectory,
-                       100 * m.pool_terminated_frac))
-
-            if (it + 1) % cfg.get('checkpoint_interval', 500) == 0:
-                path = save_checkpoint(self.dir, self.state, it + 1)
-                print('# checkpoint saved:', path)
-
-            if cfg.write_image_interval and \
-                    it % cfg.write_image_interval == 0:
-                try:
-                    self.visualize(it)
-                except Exception as e:  # viz must never kill training
-                    print('# visualization failed:', e)
-
+    def _run_fused(self, it, chunk, base_key):
+        """Dispatch ``chunk`` plain iterations as one fused scan call."""
+        cfg = self.cfg
+        citers = 0 if self.supervised else cfg.citers
+        key = ('fused', cfg.giters, citers, chunk)
+        if key not in self._steps:
+            from exposure_tpu.core.steps import build_fused_iterations_step
+            t0 = time.time()
+            self._steps[key] = build_fused_iterations_step(
+                cfg, self.policy, self.critic, self.value, self.filters,
+                self.tx, self.mesh, self.fake_meta, self.real_meta,
+                cfg.giters, citers, chunk)
+            print('# compiled fused step (giters=%d, citers=%d, n=%d) '
+                  'handle in %.1fs' % (cfg.giters, citers, chunk,
+                                       time.time() - t0))
+        iters = np.arange(it, it + chunk, dtype=np.int32)
+        lr_gs = jnp.asarray([cfg.lr_g(j) for j in iters], jnp.float32)
+        lr_cs = jnp.asarray([cfg.lr_c(j) for j in iters], jnp.float32)
+        progs = jnp.asarray(iters / cfg.max_iter_step, jnp.float32)
+        self.state, self.pool, metrics = self._steps[key](
+            self.state, self.pool, self.fake_images, self.real_images,
+            base_key, jnp.asarray(iters), lr_gs, lr_cs, progs)
         return metrics
+
+    def _post_iteration(self, it, iter_t, chunk, citers, metrics, g_pool,
+                        v_pool, emd_pool, start_t, start_iter):
+        """Per-iteration bookkeeping (logging, checkpoints, viz) shared by
+        the single-dispatch and fused paths; ``it`` is the LAST iteration
+        the dispatch covered."""
+        cfg = self.cfg
+        if it % 10 == 0:
+            m = jax.device_get(metrics)
+            if not all(np.isfinite(v) for v in m):
+                # failure detection: surface divergence immediately
+                # with a diagnostic dump instead of training on NaNs
+                dump = os.path.join(self.dir,
+                                    'diverged-%06d.msgpack' % it)
+                save_checkpoint(self.dir, self.state, it, keep=10)
+                raise FloatingPointError(
+                    'non-finite training metrics at iter %d: %s '
+                    '(state dumped near %s)' % (it, m, dump))
+            warn = pool_health_warning(citers, self.supervised,
+                                       m.pool_terminated_frac)
+            if warn:
+                print('# WARNING (it %d): %s' % (it, warn))
+            g_pool.add(m.g_loss)
+            v_pool.add(m.v_loss)
+            emd_pool.add(m.emd)
+            ms = 1000 * (time.time() - iter_t) / chunk
+            print('it%6d,%5.0f ms/it, g_loss=%.2f, v_loss=%.2f, '
+                  'EMD=%.3f, cgn=%.2f' %
+                  (it, ms, g_pool.median(), v_pool.median(),
+                   emd_pool.median(), m.critic_gradient_norm))
+            self._logger.log(it, g_loss=m.g_loss, v_loss=m.v_loss,
+                             emd=m.emd, cgn=m.critic_gradient_norm,
+                             reward=m.reward,
+                             pool_avg_traj=m.pool_avg_trajectory,
+                             pool_term_frac=m.pool_terminated_frac,
+                             ms_per_iter=ms)
+
+        if it % 100 == 0:
+            m = jax.device_get(metrics)
+            ela = (time.time() - start_t) / 60.0
+            eta = (time.time() - start_t) / (it - start_iter + 1) / \
+                3600 * (cfg.max_iter_step - it)
+            print('#--------------------------------------------')
+            print('# Task: %s  ela. %.2f min  ETA: %.1f h' %
+                  (cfg.name, ela, eta))
+            print('# Replay pool: avg. traj. %.2f, terminated %.0f%%' %
+                  (m.pool_avg_trajectory,
+                   100 * m.pool_terminated_frac))
+
+        if (it + 1) % cfg.get('checkpoint_interval', 500) == 0:
+            path = save_checkpoint(self.dir, self.state, it + 1)
+            print('# checkpoint saved:', path)
+
+        wii = cfg.write_image_interval
+        if wii and any(j % wii == 0
+                       for j in range(it - chunk + 1, it + 1)):
+            try:
+                self.visualize(it)
+            except Exception as e:  # viz must never kill training
+                print('# visualization failed:', e)
 
     # ------------------------------------------------------------------
     def restore(self, ckpt=None):

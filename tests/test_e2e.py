@@ -135,3 +135,25 @@ def test_evaluator_batched_u8_fallback(trained, tmp_path, capsys):
     assert results[0]['retouched'].shape == (96, 128, 3)
     assert np.isfinite(results[0]['retouched']).all()
     assert 'fused kernel is unavailable' in capsys.readouterr().out
+
+
+def test_fused_dispatch_training(tmp_path_factory):
+    # cfg.iters_per_dispatch > 1: whole stretches of plain iterations run
+    # as one fused scan dispatch; bookkeeping (ckpt, logs) still happens
+    root = tmp_path_factory.mktemp('models_fused')
+    cfg = load_config('test').copy()
+    cfg.name = 'test/fused'
+    cfg.max_iter_step = 12
+    cfg.iters_per_dispatch = 5
+    cfg.checkpoint_interval = 10
+    from exposure_tpu.core.trainer import Trainer
+    trainer = Trainer(cfg, restore=False, model_root=str(root))
+    metrics = trainer.train()
+    if trainer.tee:
+        trainer.tee.close()
+    assert int(trainer.state.step) == 13
+    assert metrics is not None
+    assert np.isfinite(np.asarray(metrics.g_loss))
+    assert trainer.latest_checkpoint() is not None
+    run_dir = os.path.join(str(root), 'test', 'fused')
+    assert os.path.exists(os.path.join(run_dir, 'metrics.jsonl'))

@@ -175,3 +175,85 @@ def test_lr_zero_keeps_params(setup):
     for a, b in zip(jax.tree_util.tree_leaves(state.gen_params),
                     jax.tree_util.tree_leaves(state2.gen_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_iterations_match_sequential(setup):
+    # One fused N-iteration dispatch must reproduce the Trainer's
+    # per-iteration dispatch pair (g-phase call + c-phase call) exactly,
+    # including the RNG folding.
+    cfg, state, pool, fake_pack, real_pack, _ = setup
+    from exposure_tpu.core.steps import build_fused_iterations_step
+    from exposure_tpu.core.trainer import build_models
+    filters, policy, critic, value = build_models(cfg)
+    tx = make_optimizer(cfg.adam_beta1, cfg.adam_beta2)
+    mesh = data_parallel_mesh(8)
+
+    g_step = build_outer_step(cfg, policy, critic, value, filters, tx,
+                              mesh, (64, True), (64, True), giters=1,
+                              citers=0)
+    c_step = build_outer_step(cfg, policy, critic, value, filters, tx,
+                              mesh, (64, True), (64, True), giters=0,
+                              citers=2)
+    fused = build_fused_iterations_step(cfg, policy, critic, value,
+                                        filters, tx, mesh, (64, True),
+                                        (64, True), giters=1, citers=2,
+                                        n_iters=3)
+
+    base = jax.random.PRNGKey(123)
+    iters = [5, 6, 7]
+    lr_g, lr_c = 1e-4, 2e-4
+
+    st, pl = state, pool
+    for it in iters:
+        it_key = jax.random.fold_in(base, it)
+        prog = jnp.float32(it / cfg.max_iter_step)
+        st, pl, _ = g_step(st, pl, fake_pack, real_pack,
+                           jax.random.fold_in(it_key, 0),
+                           jnp.float32(lr_g), jnp.float32(lr_c), prog)
+        st, pl, _ = c_step(st, pl, fake_pack, real_pack,
+                           jax.random.fold_in(it_key, 1),
+                           jnp.float32(lr_g), jnp.float32(lr_c), prog)
+
+    fst, fpl, fmetrics = fused(
+        state, pool, fake_pack, real_pack, base,
+        jnp.asarray(iters, jnp.int32),
+        jnp.full((3,), lr_g, jnp.float32),
+        jnp.full((3,), lr_c, jnp.float32),
+        jnp.asarray([i / cfg.max_iter_step for i in iters], jnp.float32))
+
+    for a, b in zip(jax.tree_util.tree_leaves(
+                        (st.gen_params, st.crit_params, st.val_params)),
+                    jax.tree_util.tree_leaves(
+                        (fst.gen_params, fst.crit_params,
+                         fst.val_params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(pl.images),
+                               np.asarray(fpl.images), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(pl.states),
+                                  np.asarray(fpl.states))
+    for v in fmetrics._asdict().values():
+        assert np.isfinite(np.asarray(v)).all()
+
+
+def test_plan_fused_chunk():
+    from exposure_tpu.core.trainer import plan_fused_chunk
+    cfg = load_config('test').copy()
+    cfg.max_iter_step = 20000
+    cfg.critic_initialization = 10
+    cfg.checkpoint_interval = 500
+    cfg.write_image_interval = 400
+    # warmup and bursts are never fused
+    assert plan_fused_chunk(0, cfg, 10, False) == 1
+    assert plan_fused_chunk(5, cfg, 10, False) == 1    # < critic_init
+    assert plan_fused_chunk(500, cfg, 10, False) == 1  # burst
+    # plain stretches end on logging boundaries
+    assert plan_fused_chunk(11, cfg, 10, False) == 10  # [11..20]
+    assert plan_fused_chunk(21, cfg, 10, False) == 10
+    assert plan_fused_chunk(15, cfg, 10, False) == 6   # [15..20]
+    # stop exactly ON checkpoint iterations ((it+1) % 500 == 0)
+    assert plan_fused_chunk(491, cfg, 10, False) == 9  # [491..499]
+    # never cross a burst
+    assert plan_fused_chunk(995, cfg, 10, False) == 5  # [995..999]
+    # n_fuse=1 degenerates to the single path
+    assert plan_fused_chunk(11, cfg, 1, False) == 1
