@@ -7,6 +7,10 @@ from exposure_tpu.utils.config import load_config
 
 cfg = load_config('example')
 
+# amortize remote-dispatch latency: 10 plain iterations per fused call
+# (bit-identical to single dispatch; core/steps.py)
+cfg.iters_per_dispatch = 10
+
 cfg.fake_data_provider = lambda: SyntheticDataProvider(
     n=2048, size=80, style='raw', seed=0,
     output_size=64, augmentation=0.3,

@@ -24,18 +24,26 @@ def _smooth_field(rng, n, size, channels=3, octaves=3):
 
 
 def make_synthetic_pack(n=256, size=80, style='raw', seed=0):
+    """Like a real photo collection, every per-image adjustment is drawn
+    from a RANGE, so the set's luminance/contrast/saturation statistics
+    form broad distributions — a retouching policy gets partial credit
+    on the 32-bin histogram-intersection metric for partial progress
+    (near-delta distributions would score 0 until nearly exact)."""
     rng = np.random.RandomState(seed)
     img = _smooth_field(rng, n, size)
     if style == 'raw':
         # dark, washed out, like an un-toned linear RAW
         img = img ** 2.2 * rng.uniform(0.15, 0.45, (n, 1, 1, 1))
         gray = img.mean(axis=3, keepdims=True)
-        img = 0.7 * gray + 0.3 * img
+        desat = rng.uniform(0.5, 0.85, (n, 1, 1, 1)).astype(np.float32)
+        img = desat * gray + (1 - desat) * img
     elif style == 'retouched':
-        # bright, contrasty, saturated
-        img = np.clip(img * 1.2, 0, 1) ** 0.8
+        # bright, contrasty, saturated — with artist-like variation
+        img = np.clip(img * rng.uniform(1.0, 1.4, (n, 1, 1, 1)), 0, 1) \
+            ** rng.uniform(0.55, 1.0, (n, 1, 1, 1))
         gray = img.mean(axis=3, keepdims=True)
-        img = np.clip(gray + 1.5 * (img - gray), 0, 1)
+        boost = rng.uniform(1.1, 2.0, (n, 1, 1, 1)).astype(np.float32)
+        img = np.clip(gray + boost * (img - gray), 0, 1)
     else:
         raise ValueError(style)
     return img.astype(np.float32)
