@@ -109,3 +109,21 @@ def test_supervised_smoke_train(tmp_path):
     # params moved under the supervised reward
     ps = np.asarray(trainer.pool.states)
     assert (ps[:, 2] >= 0).all()
+
+
+def test_supervised_fused_dispatch(tmp_path):
+    # supervised + iters_per_dispatch: fused chunks with citers=0 and the
+    # paired sample_fake path
+    cfg = load_config('supervised_test').copy()
+    cfg.name = 'supervised_test/fused'
+    cfg.max_iter_step = 8
+    cfg.iters_per_dispatch = 4
+    cfg.checkpoint_interval = 8
+    from exposure_tpu.core.trainer import Trainer
+    trainer = Trainer(cfg, restore=False, model_root=str(tmp_path))
+    metrics = trainer.train()
+    if trainer.tee:
+        trainer.tee.close()
+    assert int(trainer.state.step) == 9
+    assert np.isfinite(np.asarray(metrics.g_loss))
+    assert float(metrics.emd) == 0.0  # no critic phase ever ran
