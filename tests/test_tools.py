@@ -138,3 +138,37 @@ class TestQtShell:
                 rng.rand(16, 16, 3).astype(np.float32))
         from exposure_tpu.tools.user_study.main import run_qt
         run_qt(str(tmp_path), 'tester')
+
+
+class TestVerifyKernel:
+    def test_run_case_small(self, rng):
+        from exposure_tpu.tools.verify_kernel import run_case
+        from exposure_tpu.utils import load_config
+        cfg = load_config('test')
+        filters = [f(cfg) for f in cfg.filters]
+        r = run_case('small', np.random.RandomState(0), filters,
+                     (1, 32, 128), 2, dtype='f32', interpret=True)
+        assert r['ok'], r
+        r8 = run_case('small_u8', np.random.RandomState(1), filters,
+                      (1, 32, 128), 2, dtype='u8', interpret=True)
+        assert r8['ok'], r8
+
+
+class TestValidateParity:
+    def test_summarize(self):
+        from exposure_tpu.tools.validate_parity import summarize
+        runs = [
+            {'quality': {'intersection_before': [0.0, 0.0, 0.0],
+                         'intersection_after': [0.7, 0.2, 0.3],
+                         'avg_before': 0.0, 'avg_after': 0.4}},
+            {'quality': {'intersection_before': [0.0, 0.0, 0.0],
+                         'intersection_after': [0.8, 0.4, 0.5],
+                         'avg_before': 0.0, 'avg_after': 0.5667}},
+        ]
+        s = summarize(runs)
+        assert s['seeds'] == 2
+        assert s['intersection_after']['luminance']['mean'] == \
+            pytest.approx(0.75)
+        assert s['intersection_after']['contrast']['std'] == \
+            pytest.approx(0.1)
+        assert s['avg_after_mean'] == pytest.approx(0.4834, abs=1e-3)
