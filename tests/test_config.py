@@ -75,3 +75,15 @@ def test_sintel_config_overrides_target_provider():
     assert cfg.batch_size == 64  # inherits flagship knobs
     assert 'FolderDataProvider' in repr(cfg.real_data_provider.__code__
                                         .co_consts) or True
+
+
+def test_all_shipped_configs_load():
+    from exposure_tpu.utils.config import load_config
+    for name in ('example', 'sintel', 'test', 'synthetic', 'masked',
+                 'supervised_test', 'supervised'):
+        cfg = load_config(name)
+        assert cfg.num_state_dim == 3 + len(cfg.filters), name
+        assert cfg.batch_size % 1 == 0
+        assert callable(cfg.lr_g) and callable(cfg.lr_c), name
+        assert callable(cfg.fake_data_provider), name
+        assert callable(cfg.real_data_provider), name
