@@ -338,10 +338,13 @@ def pallas_apply_filter_chain(img, filter_ids, packed_params, filters,
         the per-image trajectory scalars.
       interpret: run in interpreter mode (CPU testing).
       compute_dtype: in-kernel pixel math precision.  f32 (default)
-        matches the jnp chain bit-near; jnp.bfloat16 packs the VPU 2x for
-        the compute-bound branches (pow/HSV) at ~0.4% relative error —
-        an opt-in serving trade (measure with tools/bench_filters.py,
-        verify with tools/verify_kernel.py).
+        matches the jnp chain bit-near; jnp.bfloat16 would pack the VPU
+        2x at ~0.4% relative error, but the current Mosaic toolchain
+        does not legalize scalar bf16 arithmetic (arith.addf bf16), so
+        the bf16 mode is EXPERIMENTAL: verified in interpreter mode
+        (tests/test_pallas_chain.py::test_bf16_compute_mode), fails to
+        compile on-device today.  Measured serving is currently
+        dispatch/bandwidth-dominated anyway (tools/bench_truth.py).
 
     Returns: [B, H, W, 3] float32.
     """
