@@ -5,19 +5,29 @@ Pipeline per batch (the full white-box inference path, matching what the
 reference does per image in net.py:796-821 but batched and fused):
   1. downsample 512x512 -> 64x64 proxies (on device),
   2. 5-step policy rollout on the proxies (one lax.scan),
-  3. replay the recorded chains on the 512x512 originals with the fused
-     Pallas kernel (one HBM pass).
+  3. replay the recorded chains on the 512x512 originals — by default
+     through signature-grouped SWITCHLESS Pallas kernels (only the
+     selected filters' math executes; see ops/pallas_chain.py).
+
+Timing methodology: dependency-honest SLOPE timing — wall-clock of 40
+dispatches minus wall-clock of 10, divided by 30, with a tiny device->
+host fetch forcing completion.  (On the remote-TPU testbed,
+``block_until_ready`` can acknowledge before execution completes, which
+inflated earlier rounds' numbers ~20x; the slope method cancels all
+fixed costs and matches physics — memcpy measures ~640 GB/s ~= 78% of
+v5e HBM.  See tools/bench_truth.py / tools/bench_kernel_probe.py.)
 
 Prints ONE JSON line: images/sec plus vs_baseline.
 
 Flags:
   --run <config>/<run>  benchmark a TRAINED checkpoint on images from the
-                        config's test provider (real action distribution
-                        and switch-branch mix) instead of fresh-init
-                        weights on noise images.
-  --bf16                run the policy rollout in bfloat16 (MXU-native).
+                        config's test provider (real action mix)
+                        instead of fresh-init weights on noise images.
+  --bf16                policy rollout in bfloat16 (MXU-native).
   --f32                 float32 image I/O instead of the uint8 default.
-  --no-pallas           replay through the jnp chain instead of the kernel.
+  --switch-kernel       replay through the single-jit lax.switch kernel
+                        (Mosaic executes every branch; ~3x slower).
+  --no-pallas           replay through the branchless jnp chain.
 
 vs_baseline: the north-star target is >=10,000 images/sec on a v5e-8
 slice (BASELINE.md); this benchmark runs on however many chips are
@@ -33,6 +43,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _flag_value(name, default):
@@ -41,18 +52,20 @@ def _flag_value(name, default):
     return default
 
 
-def build_pipeline(batch, res, use_pallas=True, u8=False, run=None,
-                   bf16=False, kernel_bf16=False):
-    import numpy as np
-
+def build_pipeline(batch, res, mode='grouped', u8=True, run=None,
+                   bf16=False):
     from exposure_tpu.core.rollout import rollout
     from exposure_tpu.core.trainer import build_models, init_train_state
     from exposure_tpu.ops.chain import apply_filter_chain
-    from exposure_tpu.ops.pallas_chain import pallas_apply_filter_chain
+    from exposure_tpu.ops.pallas_chain import (
+        GroupedChainRunner,
+        pallas_apply_filter_chain,
+    )
+    from exposure_tpu.core.checkpoint import restore_checkpoint
     from exposure_tpu.utils.config import load_config
 
     if run:
-        config_name, run_name = run.split('/', 1)
+        config_name, _ = run.split('/', 1)
         cfg = load_config(config_name)
         cfg.name = run
     else:
@@ -61,17 +74,15 @@ def build_pipeline(batch, res, use_pallas=True, u8=False, run=None,
     state, _ = init_train_state(cfg, policy, critic, value, seed=0)
     if run:
         import os
-
-        from exposure_tpu.core.checkpoint import restore_checkpoint
         state, step = restore_checkpoint(os.path.join('models', run), state)
         print('# bench: restored %s at step %d' % (run, step),
               file=sys.stderr)
 
-    def pipeline(gen_params, high_res, key):
+    def plan(gen_params, images, key):
         if u8:
-            proxy_src = high_res.astype(jnp.float32) * (1.0 / 255.0)
+            proxy_src = images.astype(jnp.float32) * (1.0 / 255.0)
         else:
-            proxy_src = high_res
+            proxy_src = images
         proxy = jax.image.resize(
             proxy_src, (batch, cfg.source_img_size, cfg.source_img_size, 3),
             method='linear')
@@ -81,18 +92,30 @@ def build_pipeline(batch, res, use_pallas=True, u8=False, run=None,
                 lambda x: x.astype(jnp.bfloat16), gen_params)
         traj = rollout(policy, gen_params, proxy, key, cfg=cfg,
                        filters=filters, is_train=0)
-        params = traj.params.astype(jnp.float32)
-        if use_pallas:
-            out = pallas_apply_filter_chain(
-                high_res, traj.filter_ids, params, filters,
-                compute_dtype=jnp.bfloat16 if kernel_bf16
-                else jnp.float32)
-        else:
-            out = apply_filter_chain(proxy_src if u8 else high_res,
-                                     traj.filter_ids, params, filters)
-        return out
+        return (traj.filter_ids, traj.params.astype(jnp.float32),
+                proxy_src)
 
-    fn = jax.jit(pipeline)
+    if mode == 'grouped':
+        plan_jit = jax.jit(plan)
+        runner = GroupedChainRunner(filters)
+
+        def step_fn(gen_params, images, key):
+            ids, params, _ = plan_jit(gen_params, images, key)
+            return runner(images, ids, params)
+    elif mode == 'switch':
+        def whole(gen_params, images, key):
+            ids, params, _ = plan(gen_params, images, key)
+            return pallas_apply_filter_chain(images, ids, params, filters)
+        step_fn = jax.jit(whole)
+    else:  # jnp chain
+        def whole(gen_params, images, key):
+            ids, params, proxy_src = plan(gen_params, images, key)
+            out = apply_filter_chain(proxy_src, ids, params, filters)
+            if u8:
+                out = jnp.round(jnp.clip(out, 0, 1) * 255).astype(jnp.uint8)
+            return out
+        step_fn = jax.jit(whole)
+
     rng = jax.random.PRNGKey(0)
     if run:
         # representative content: the run's own held-out inputs, upsampled
@@ -106,45 +129,54 @@ def build_pipeline(batch, res, use_pallas=True, u8=False, run=None,
                                   jnp.float32) * 0.8
     if u8:
         imgs = (imgs * 255).astype(jnp.uint8)
-    return fn, state.gen_params, imgs, rng
+    return step_fn, state.gen_params, imgs, rng
+
+
+def slope_time(fn, n_small=10, n_big=40, rounds=2):
+    """Honest per-call seconds: (T(n_big) - T(n_small)) / (n_big - n_small)
+    with a tiny fetch forcing completion; min over rounds."""
+    def run(n):
+        t0 = time.time()
+        out = None
+        for _ in range(n):
+            out = fn()
+        np.asarray(out[0, :2, :2, 0])
+        return time.time() - t0
+
+    run(2)  # warmup / compile
+    t_s = min(run(n_small) for _ in range(rounds))
+    t_b = min(run(n_big) for _ in range(rounds))
+    return max((t_b - t_s) / (n_big - n_small), 1e-9)
 
 
 def main():
     batch = int(_flag_value('--batch', 512))
     res = 512
-    use_pallas = '--no-pallas' not in sys.argv
+    if '--no-pallas' in sys.argv:
+        mode = 'jnp'
+    elif '--switch-kernel' in sys.argv:
+        mode = 'switch'
+    else:
+        mode = 'grouped'
     # Default: real serving I/O — standard 8-bit images in/out (all filter
     # math in f32 on device); pass --f32 for a float32-I/O pipeline.
     u8 = '--f32' not in sys.argv
     run = _flag_value('--run', None)
     bf16 = '--bf16' in sys.argv
-    kernel_bf16 = '--kernel-bf16' in sys.argv
     n_chips = len(jax.devices())
 
-    fn, params, imgs, rng = build_pipeline(batch, res, use_pallas, u8,
-                                           run=run, bf16=bf16,
-                                           kernel_bf16=kernel_bf16)
+    step_fn, params, imgs, rng = build_pipeline(batch, res, mode, u8,
+                                                run=run, bf16=bf16)
 
-    # warmup / compile
-    out = fn(params, imgs, rng)
-    jax.block_until_ready(out)
+    # fixed key: identical trajectories every call (stable signatures for
+    # the grouped path; dropout is always on, so the key changes choices)
+    dt = slope_time(lambda: step_fn(params, imgs, rng))
 
-    # best of 3 rounds: the remote-TPU tunnel occasionally stalls for
-    # tens of seconds independent of the program; the best round
-    # reflects device throughput.
-    iters = 10
-    best_dt = float('inf')
-    for r in range(3):
-        t0 = time.time()
-        for i in range(iters):
-            out = fn(params, imgs, jax.random.fold_in(rng, r * iters + i))
-        jax.block_until_ready(out)
-        best_dt = min(best_dt, time.time() - t0)
-
-    img_per_sec = batch * iters / best_dt
+    img_per_sec = batch / dt
     target = 1250.0 * n_chips
     tags = ('' if not u8 else '_u8io') + ('_bf16' if bf16 else '') + \
-        ('_kbf16' if kernel_bf16 else '') + ('_trained' if run else '')
+        ('_trained' if run else '') + \
+        ('' if mode == 'grouped' else '_' + mode)
     print(json.dumps({
         'metric': '512px_images_per_sec_5step_inference%s' % tags,
         'value': round(img_per_sec, 2),

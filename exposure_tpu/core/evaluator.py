@@ -88,19 +88,24 @@ class Evaluator:
     def _chain_fn(self, shape, dtype=jnp.float32):
         shape = (tuple(shape), jnp.dtype(dtype).name)
         if shape not in self._chain_cache:
+            masking = self.cfg.masking
             if self._use_pallas():
+                # signature-grouped switchless kernels: only the selected
+                # filters' math executes (see ops/pallas_chain.py
+                # GroupedChainRunner; 3x+ over the lax.switch kernel,
+                # whose Mosaic lowering runs every branch)
                 from exposure_tpu.ops.pallas_chain import (
-                    pallas_apply_filter_chain,
+                    GroupedChainRunner,
                 )
-                masking = self.cfg.masking
-                self._chain_cache[shape] = jax.jit(
+                if getattr(self, '_grouped_runner', None) is None:
+                    self._grouped_runner = GroupedChainRunner(
+                        self.filters)
+                runner = self._grouped_runner
+                self._chain_cache[shape] = (
                     lambda img, ids, params, active, mask:
-                    pallas_apply_filter_chain(
-                        img, ids, params, self.filters,
-                        active_steps=active,
-                        mask_params=mask if masking else None))
+                    runner(img, ids, params, active_steps=active,
+                           mask_params=mask if masking else None))
             else:
-                masking = self.cfg.masking
                 self._chain_cache[shape] = jax.jit(
                     lambda img, ids, params, active, mask:
                     apply_filter_chain(

@@ -3,9 +3,21 @@
 The production-facing API the reference never had: load a trained run
 once, then ``pipeline(images)`` retouches batches at any (fixed)
 resolution — proxy downsample, on-device policy rollout, fused Pallas
-chain replay — in a single jitted call per resolution.  Accepts uint8
-(standard 8-bit images; fastest — 4x less HBM traffic) or float32 in the
-linear [0, 1] domain.
+chain replay.  Accepts uint8 (standard 8-bit images; fastest — 4x less
+HBM traffic) or float32 in the linear [0, 1] domain.
+
+Replay strategy (measured on TPU v5e with dependency-serialized slope
+timing, tools/bench_truth.py / bench_kernel_probe.py):
+- the ``lax.switch`` kernel executes EVERY branch per step under
+  Mosaic's lowering (~45 ms per 256x512^2 batch regardless of ids);
+- grouping the batch by trajectory signature and compiling a SWITCHLESS
+  static kernel per signature (``GroupedChainRunner``) recovers
+  selected-branch-only cost — 3x faster for a trained mix, more when
+  the mix is cheap.  Trained argmax policies reuse a handful of
+  signatures, so compile count stays tiny.  This is the default on
+  accelerators (``grouped=None``); pass ``grouped=False`` to force the
+  single-jit switch-kernel path (e.g. when end-to-end jitability
+  matters more than throughput).
 
 Options:
 - ``bf16=True`` runs the policy rollout in bfloat16 (MXU-native; filter
@@ -13,7 +25,7 @@ Options:
   unchanged).  Serving uses argmax selection, which is robust to the
   reduced pdf precision.
 - masking configs are supported: recorded mask parameters ride along and
-  the fused kernel evaluates the spatial masks in-kernel.
+  the kernels evaluate the spatial masks in-kernel.
 
 >>> pipe = RetouchPipeline.from_run(cfg)          # or (cfg, state=...)
 >>> out_u8 = pipe(np.stack(imgs_u8))              # [B, H, W, 3] uint8
@@ -27,13 +39,16 @@ from exposure_tpu.core.checkpoint import restore_checkpoint
 from exposure_tpu.core.rollout import rollout
 from exposure_tpu.core.trainer import build_models, init_train_state
 from exposure_tpu.ops.chain import apply_filter_chain
-from exposure_tpu.ops.pallas_chain import pallas_apply_filter_chain
+from exposure_tpu.ops.pallas_chain import (
+    GroupedChainRunner,
+    pallas_apply_filter_chain,
+)
 
 
 class RetouchPipeline:
 
     def __init__(self, cfg, state, use_pallas=None, interpret=False,
-                 bf16=False):
+                 bf16=False, grouped=None):
         self.cfg = cfg
         self.filters, self.policy, _, _ = build_models(cfg)
         self.state = state
@@ -42,7 +57,14 @@ class RetouchPipeline:
         self.use_pallas = use_pallas
         self.interpret = interpret
         self.bf16 = bf16
+        if grouped is None:
+            grouped = use_pallas
+        self.grouped = grouped and use_pallas
+        self._runner = GroupedChainRunner(self.filters,
+                                          interpret=interpret) \
+            if self.grouped else None
         self._fns = {}
+        self._plan_fns = {}
 
     @classmethod
     def from_run(cls, cfg, model_root='models', ckpt=None, **kwargs):
@@ -54,11 +76,11 @@ class RetouchPipeline:
             os.path.join(model_root, cfg.name), state, ckpt)
         return cls(cfg, state, **kwargs)
 
-    def _build(self, shape, dtype):
+    # -- trajectory planning (shared by both replay paths) ---------------
+    def _plan(self, shape, dtype):
         cfg = self.cfg
         batch = shape[0]
         quantized = dtype == jnp.uint8
-        masking = bool(cfg.masking)
 
         def fn(gen_params, images, key):
             if quantized:
@@ -75,8 +97,36 @@ class RetouchPipeline:
                     lambda x: x.astype(jnp.bfloat16), gen_params)
             traj = rollout(self.policy, gen_params, proxy, key, cfg=cfg,
                            filters=self.filters, is_train=0)
+            return (traj.filter_ids,
+                    traj.params.astype(jnp.float32),
+                    traj.mask_params.astype(jnp.float32))
+
+        return jax.jit(fn)
+
+    # -- single-jit switch-kernel path -----------------------------------
+    def _build(self, shape, dtype):
+        cfg = self.cfg
+        quantized = dtype == jnp.uint8
+        masking = bool(cfg.masking)
+
+        def fn(gen_params, images, key):
+            if quantized:
+                proxy_src = images.astype(jnp.float32) * (1.0 / 255.0)
+            else:
+                proxy_src = images
+            proxy = jax.image.resize(
+                proxy_src,
+                (shape[0], cfg.source_img_size, cfg.source_img_size, 3),
+                method='linear')
+            if self.bf16:
+                proxy = proxy.astype(jnp.bfloat16)
+                gen_params = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.bfloat16), gen_params)
+            traj = rollout(self.policy, gen_params, proxy, key, cfg=cfg,
+                           filters=self.filters, is_train=0)
             params = traj.params.astype(jnp.float32)
-            mask = traj.mask_params.astype(jnp.float32) if masking else None
+            mask = traj.mask_params.astype(jnp.float32) if masking \
+                else None
             if self.use_pallas:
                 return pallas_apply_filter_chain(
                     images, traj.filter_ids, params, self.filters,
@@ -96,6 +146,16 @@ class RetouchPipeline:
         images = jnp.asarray(images)
         key = jax.random.PRNGKey(seed)
         sig = (images.shape, images.dtype)
+        if self.grouped:
+            if sig not in self._plan_fns:
+                self._plan_fns[sig] = self._plan(images.shape,
+                                                 images.dtype)
+            ids, params, mask = self._plan_fns[sig](
+                self.state.gen_params, images, key)
+            masking = bool(self.cfg.masking)
+            return np.asarray(self._runner(
+                images, ids, params,
+                mask_params=mask if masking else None))
         if sig not in self._fns:
             self._fns[sig] = self._build(images.shape, images.dtype)
         return np.asarray(self._fns[sig](self.state.gen_params, images,

@@ -56,7 +56,7 @@ def random_trajectory(rng, filters, k, b):
 
 
 def run_case(name, rng, filters, shape, steps, dtype='f32', masked=False,
-             active=False, interpret=False):
+             active=False, interpret=False, grouped=False):
     b, h, w = shape
     imgf = rng.rand(b, h, w, 3).astype(np.float32) * 0.9
     ids, params = random_trajectory(rng, filters, steps, b)
@@ -74,9 +74,16 @@ def run_case(name, rng, filters, shape, steps, dtype='f32', masked=False,
     jnp_chain = jax.jit(lambda im: apply_filter_chain(
         im, ids, params, filters, active_steps=active_steps,
         mask_params=mask_params))
-    pallas = jax.jit(lambda im: pallas_apply_filter_chain(
-        im, ids, params, filters, active_steps=active_steps,
-        mask_params=mask_params, interpret=interpret))
+    if grouped:
+        from exposure_tpu.ops.pallas_chain import GroupedChainRunner
+        runner = GroupedChainRunner(filters, interpret=interpret)
+        pallas = lambda im: runner(  # noqa: E731
+            im, ids, params, active_steps=active_steps,
+            mask_params=mask_params)
+    else:
+        pallas = jax.jit(lambda im: pallas_apply_filter_chain(
+            im, ids, params, filters, active_steps=active_steps,
+            mask_params=mask_params, interpret=interpret))
 
     t0 = time.time()
     expected = np.asarray(jnp_chain(jnp.asarray(imgf)))
@@ -131,11 +138,19 @@ def verify(interpret=False, seed=0):
         ('masked_64x128', mfilters, (2, 64, 128), 3, 'f32', True, False),
         ('masked_odd_96x128', mfilters, (1, 96, 128), 3, 'f32', True, False),
         ('vignette_96x128', vfilters, (1, 96, 128), 3, 'f32', True, False),
+        # the signature-grouped switchless serving path
+        ('grouped_u8_512', filters, (4, 512, 512), 5, 'u8', False, False,
+         True),
+        ('grouped_masked', mfilters, (2, 64, 128), 3, 'f32', True, False,
+         True),
     ]
     results = []
-    for name, flt, shape, steps, dtype, masked, active in cases:
+    for case in cases:
+        name, flt, shape, steps, dtype, masked, active = case[:7]
+        grouped = case[7] if len(case) > 7 else False
         r = run_case(name, rng, flt, shape, steps, dtype=dtype,
-                     masked=masked, active=active, interpret=interpret)
+                     masked=masked, active=active, interpret=interpret,
+                     grouped=grouped)
         print('  %-20s %-12s diff=%.3g tol=%g %s (%.1fs)' %
               (r['case'], 'x'.join(map(str, r['shape'])),
                r['max_abs_diff'], r['tol'],

@@ -159,3 +159,75 @@ def test_bf16_compute_mode(rng, cfg, filters):
                   np.asarray(bf16).astype(np.int32))
     assert diff.max() <= 8, diff.max()  # ~0.4% relative over 5 steps
     assert diff.mean() < 2.0
+
+
+def test_static_chain_matches_switch(rng, cfg, filters):
+    from exposure_tpu.ops.pallas_chain import (
+        pallas_apply_filter_chain_static,
+    )
+    img = jnp.asarray(rng.rand(3, 64, 128, 3).astype(np.float32) * 0.9)
+    sig = (0, 2, 1, 0, 3)
+    ids = jnp.asarray(np.tile(np.asarray(sig, np.int32)[:, None], (1, 3)))
+    _, params = random_trajectory(rng, filters, 5, 3)
+    expected = pallas_apply_filter_chain(img, ids, params, filters,
+                                         tile=(32, 128), interpret=True)
+    got = pallas_apply_filter_chain_static(img, sig, params, filters,
+                                           tile=(32, 128), interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               atol=1e-6)
+
+
+def test_grouped_runner_matches_switch(rng, cfg, filters):
+    from exposure_tpu.ops.pallas_chain import GroupedChainRunner
+    b = 6
+    img8 = (rng.rand(b, 64, 128, 3) * 255).astype(np.uint8)
+    ids, params = random_trajectory(rng, filters, 4, b)
+    runner = GroupedChainRunner(filters, interpret=True)
+    got = runner(jnp.asarray(img8), ids, params)
+    expected = pallas_apply_filter_chain(jnp.asarray(img8), ids, params,
+                                         filters, tile=(32, 128),
+                                         interpret=True)
+    diff = np.abs(np.asarray(got).astype(np.int32) -
+                  np.asarray(expected).astype(np.int32))
+    assert diff.max() <= 1, diff.max()
+    assert got.dtype == np.uint8
+
+
+def test_grouped_runner_active_mask_and_fallback(rng, cfg, filters):
+    from exposure_tpu.ops.pallas_chain import GroupedChainRunner
+    b = 4
+    img = jnp.asarray(rng.rand(b, 64, 64, 3).astype(np.float32) * 0.9)
+    ids, params = random_trajectory(rng, filters, 3, b)
+    active = jnp.asarray(np.asarray(
+        [[1] * b, [1] * b, [0] * b], np.float32))
+    expected = pallas_apply_filter_chain(img, ids, params, filters,
+                                         active_steps=active,
+                                         tile=(32, 128), interpret=True)
+    runner = GroupedChainRunner(filters, interpret=True)
+    got = runner(img, ids, params, active_steps=active)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               atol=1e-6)
+    # fallback path: force max_signatures=0
+    runner0 = GroupedChainRunner(filters, interpret=True,
+                                 max_signatures=0)
+    got0 = runner0(img, ids, params, active_steps=active)
+    np.testing.assert_allclose(np.asarray(got0), np.asarray(expected),
+                               atol=1e-6)
+
+
+def test_grouped_runner_masked(rng, cfg):
+    from exposure_tpu.ops.pallas_chain import GroupedChainRunner
+    mcfg = cfg.copy()
+    mcfg.masking = True
+    mfilters = [f(mcfg) for f in mcfg.filters]
+    b = 3
+    img = jnp.asarray(rng.rand(b, 64, 128, 3).astype(np.float32) * 0.9)
+    ids, params = random_trajectory(rng, mfilters, 3, b)
+    mask = jnp.asarray(rng.randn(3, b, 6).astype(np.float32))
+    expected = pallas_apply_filter_chain(img, ids, params, mfilters,
+                                         mask_params=mask,
+                                         tile=(32, 128), interpret=True)
+    runner = GroupedChainRunner(mfilters, interpret=True)
+    got = runner(img, ids, params, mask_params=mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               atol=5e-5, rtol=1e-4)

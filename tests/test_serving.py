@@ -77,3 +77,21 @@ def test_masked_serving(rng):
     out_jnp = pipe_jnp(imgs)
     diff = np.abs(out.astype(np.int32) - out_jnp.astype(np.int32))
     assert diff.max() <= 1
+
+
+def test_grouped_serving_matches_single_jit(rng):
+    # grouped signature replay (the accelerator default) must reproduce
+    # the single-jit switch-kernel pipeline
+    cfg = load_config('test')
+    filters, policy, critic, value = build_models(cfg)
+    state, _ = init_train_state(cfg, policy, critic, value, 0)
+    imgs = (rng.rand(4, 64, 128, 3) * 255).astype(np.uint8)
+    pipe_g = RetouchPipeline(cfg, state, use_pallas=True, interpret=True,
+                             grouped=True)
+    pipe_s = RetouchPipeline(cfg, state, use_pallas=True, interpret=True,
+                             grouped=False)
+    a = pipe_g(imgs, seed=5)
+    b = pipe_s(imgs, seed=5)
+    assert a.dtype == np.uint8
+    diff = np.abs(a.astype(np.int32) - b.astype(np.int32))
+    assert diff.max() <= 1, diff.max()
