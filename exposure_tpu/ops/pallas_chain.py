@@ -422,8 +422,8 @@ class GroupedChainRunner:
         self.batch_chunk = batch_chunk
         self._fns = {}
 
-    def _static_fn(self, sig, size, res_shape, dtype, masked):
-        key = (sig, size, res_shape, jnp.dtype(dtype).name)
+    def _single_fn(self, sig, size, res_shape, dtype, masked):
+        key = ('single', sig, size, res_shape, jnp.dtype(dtype).name)
         if key not in self._fns:
             if masked:
                 fn = jax.jit(lambda im, p, m, s=sig:
@@ -440,6 +440,32 @@ class GroupedChainRunner:
                                  batch_chunk=self.batch_chunk,
                                  interpret=self.interpret))
             self._fns[key] = fn
+        return self._fns[key]
+
+    def _multi_fn(self, sig_sizes, res_shape, dtype, masked):
+        """ONE jitted function doing every group's gather -> static chain
+        -> scatter — a single dispatch per batch (dozens of eager ops per
+        call would each pay host-dispatch latency)."""
+        key = ('multi', sig_sizes, res_shape, jnp.dtype(dtype).name)
+        if key not in self._fns:
+            def fn(img, params, mask, *idx_arrays):
+                out = jnp.zeros(img.shape, img.dtype)
+                for (sig, _), ix in zip(sig_sizes, idx_arrays):
+                    sub_img = jnp.take(img, ix, axis=0)
+                    sub_p = jnp.take(params, ix, axis=1)
+                    sub_m = jnp.take(mask, ix, axis=1) if masked else None
+                    res = pallas_apply_filter_chain_static(
+                        sub_img, sig, sub_p, self.filters,
+                        mask_params=sub_m, tile=self.tile,
+                        batch_chunk=self.batch_chunk,
+                        interpret=self.interpret)
+                    # padded index slots repeat the group's first image,
+                    # so their results are valid duplicates — scattering
+                    # them is a redundant but correct write
+                    out = out.at[ix].set(res)
+                return out
+
+            self._fns[key] = jax.jit(fn)
         return self._fns[key]
 
     def __call__(self, img, filter_ids, packed_params, filters=None,
@@ -468,32 +494,27 @@ class GroupedChainRunner:
             # whole batch shares one signature (argmax policies usually
             # do): no gather/scatter, one static call on the batch as-is
             (sig, _), = sigs.items()
-            fn = self._static_fn(sig, b, img.shape[1:3], img.dtype,
+            fn = self._single_fn(sig, b, img.shape[1:3], img.dtype,
                                  masking)
             return fn(img, packed_params, mask_params) if masking \
                 else fn(img, packed_params)
 
-        out = None
-        for sig, idxs in sigs.items():
-            idx = jnp.asarray(np.asarray(idxs, np.int32))
+        # deterministic group order; pad group indices to bucketed sizes
+        # (the pad repeats the group's first index — see _multi_fn)
+        items = sorted(sigs.items())
+        sig_sizes = []
+        idx_arrays = []
+        for sig, idxs in items:
             n = len(idxs)
-            # bucket group size to limit compile variants
             size = max(8, 1 << (n - 1).bit_length())
-            pad = size - n
-            gather = jnp.concatenate(
-                [idx, jnp.repeat(idx[:1], pad)]) if pad else idx
-            sub_img = jnp.take(img, gather, axis=0)
-            sub_p = jnp.take(packed_params, gather, axis=1)
-            sub_m = jnp.take(mask_params, gather, axis=1) \
-                if masking else None
-            fn = self._static_fn(sig, size, img.shape[1:3], img.dtype,
-                                 masking)
-            res = fn(sub_img, sub_p, sub_m) if masking else \
-                fn(sub_img, sub_p)
-            if out is None:
-                out = jnp.zeros(img.shape, res.dtype)
-            out = out.at[idx].set(res[:n])
-        return out
+            padded = np.asarray(idxs + [idxs[0]] * (size - n), np.int32)
+            sig_sizes.append((sig, size))
+            idx_arrays.append(jnp.asarray(padded))
+        fn = self._multi_fn(tuple(sig_sizes), img.shape[1:3], img.dtype,
+                            masking)
+        mask_arg = mask_params if masking else \
+            jnp.zeros((k, b, 1), jnp.float32)
+        return fn(img, packed_params, mask_arg, *idx_arrays)
 
 
 def _round_up(x, m):
