@@ -484,11 +484,26 @@ class GroupedChainRunner:
             sigs.setdefault(tuple(int(x) for x in ids[:, i]),
                             []).append(i)
         if len(sigs) > self.max_signatures:
-            return pallas_apply_filter_chain(
-                img, filter_ids, packed_params, filters,
-                active_steps=active_steps, mask_params=mask_params,
-                tile=self.tile, batch_chunk=self.batch_chunk,
-                interpret=self.interpret)
+            # signature-diverse batch (e.g. random-walk eval): one jitted
+            # switch-kernel call
+            fkey = ('fallback', img.shape, jnp.dtype(img.dtype).name,
+                    masking, active_steps is not None)
+            if fkey not in self._fns:
+                self._fns[fkey] = jax.jit(
+                    lambda im, i, p, a, m: pallas_apply_filter_chain(
+                        im, i, p, self.filters,
+                        active_steps=a,
+                        mask_params=m if masking else None,
+                        tile=self.tile, batch_chunk=self.batch_chunk,
+                        interpret=self.interpret),
+                    static_argnames=())
+            k_, b_ = ids.shape
+            mask_arg = mask_params if masking else \
+                jnp.zeros((k_, b_, 1), jnp.float32)
+            act_arg = active_steps if active_steps is not None else \
+                jnp.ones((k_, b_), jnp.float32)
+            return self._fns[fkey](img, filter_ids, packed_params,
+                                   act_arg, mask_arg)
 
         if len(sigs) == 1:
             # whole batch shares one signature (argmax policies usually
