@@ -448,9 +448,18 @@ class GroupedChainRunner:
         call would each pay host-dispatch latency)."""
         key = ('multi', sig_sizes, res_shape, jnp.dtype(dtype).name)
         if key not in self._fns:
-            def fn(img, params, mask, *idx_arrays):
+            # group indices arrive as ONE packed array (single host->
+            # device upload); static offsets slice it per group
+            offsets = []
+            o = 0
+            for _, size in sig_sizes:
+                offsets.append((o, o + size))
+                o += size
+
+            def fn(img, params, mask, packed_idx):
                 out = jnp.zeros(img.shape, img.dtype)
-                for (sig, _), ix in zip(sig_sizes, idx_arrays):
+                for (sig, _), (s, e) in zip(sig_sizes, offsets):
+                    ix = packed_idx[s:e]
                     sub_img = jnp.take(img, ix, axis=0)
                     sub_p = jnp.take(params, ix, axis=1)
                     sub_m = jnp.take(mask, ix, axis=1) if masked else None
@@ -515,21 +524,22 @@ class GroupedChainRunner:
                 else fn(img, packed_params)
 
         # deterministic group order; pad group indices to bucketed sizes
-        # (the pad repeats the group's first index — see _multi_fn)
+        # (the pad repeats the group's first index — see _multi_fn) and
+        # pack every group into ONE upload
         items = sorted(sigs.items())
         sig_sizes = []
-        idx_arrays = []
+        packed = []
         for sig, idxs in items:
             n = len(idxs)
             size = max(8, 1 << (n - 1).bit_length())
-            padded = np.asarray(idxs + [idxs[0]] * (size - n), np.int32)
+            packed.extend(idxs + [idxs[0]] * (size - n))
             sig_sizes.append((sig, size))
-            idx_arrays.append(jnp.asarray(padded))
         fn = self._multi_fn(tuple(sig_sizes), img.shape[1:3], img.dtype,
                             masking)
         mask_arg = mask_params if masking else \
             jnp.zeros((k, b, 1), jnp.float32)
-        return fn(img, packed_params, mask_arg, *idx_arrays)
+        return fn(img, packed_params, mask_arg,
+                  jnp.asarray(np.asarray(packed, np.int32)))
 
 
 def _round_up(x, m):
