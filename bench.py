@@ -5,9 +5,18 @@ Pipeline per batch (the full white-box inference path, matching what the
 reference does per image in net.py:796-821 but batched and fused):
   1. downsample 512x512 -> 64x64 proxies (on device),
   2. 5-step policy rollout on the proxies (one lax.scan),
-  3. replay the recorded chains on the 512x512 originals — by default
-     through signature-grouped SWITCHLESS Pallas kernels (only the
-     selected filters' math executes; see ops/pallas_chain.py).
+  3. replay the recorded chains on the 512x512 originals through the
+     fused Pallas kernel.  Default: the single-jit lax.switch kernel —
+     fully device-side, no host syncs, so its timing is stable through
+     the remote-TPU tunnel.  ``--grouped`` uses the signature-grouped
+     SWITCHLESS kernels instead (ops/pallas_chain.py GroupedChainRunner)
+     — 3x faster ON DEVICE (only the selected filters' math executes;
+     15 vs 45 ms per 256x512^2 trained-mix batch by serialized slope
+     timing), but it reads the planned ids on the host between rollout
+     and replay, and on this testbed that host round trip's latency is
+     large and erratic (tunnel pool reclaims), so it is not the default
+     *benchmark* mode; it IS the default serving mode (core/serving.py)
+     because TPU-local deployments pay microseconds for that fetch.
 
 Timing methodology: dependency-honest SLOPE timing — wall-clock of 40
 dispatches minus wall-clock of 10, divided by 30, with a tiny device->
@@ -25,8 +34,8 @@ Flags:
                         instead of fresh-init weights on noise images.
   --bf16                policy rollout in bfloat16 (MXU-native).
   --f32                 float32 image I/O instead of the uint8 default.
-  --switch-kernel       replay through the single-jit lax.switch kernel
-                        (Mosaic executes every branch; ~3x slower).
+  --grouped             replay through the signature-grouped switchless
+                        kernels (see above).
   --no-pallas           replay through the branchless jnp chain.
 
 vs_baseline: the north-star target is >=10,000 images/sec on a v5e-8
@@ -154,10 +163,10 @@ def main():
     res = 512
     if '--no-pallas' in sys.argv:
         mode = 'jnp'
-    elif '--switch-kernel' in sys.argv:
-        mode = 'switch'
-    else:
+    elif '--grouped' in sys.argv:
         mode = 'grouped'
+    else:
+        mode = 'switch'
     # Default: real serving I/O — standard 8-bit images in/out (all filter
     # math in f32 on device); pass --f32 for a float32-I/O pipeline.
     u8 = '--f32' not in sys.argv
@@ -176,7 +185,7 @@ def main():
     target = 1250.0 * n_chips
     tags = ('' if not u8 else '_u8io') + ('_bf16' if bf16 else '') + \
         ('_trained' if run else '') + \
-        ('' if mode == 'grouped' else '_' + mode)
+        ('' if mode == 'switch' else '_' + mode)
     print(json.dumps({
         'metric': '512px_images_per_sec_5step_inference%s' % tags,
         'value': round(img_per_sec, 2),
