@@ -141,22 +141,50 @@ class RetouchPipeline:
 
         return jax.jit(fn)
 
+    def _plan_for(self, images, key):
+        sig = (images.shape, images.dtype)
+        if sig not in self._plan_fns:
+            self._plan_fns[sig] = self._plan(images.shape, images.dtype)
+        return self._plan_fns[sig](self.state.gen_params, images, key)
+
+    def _replay(self, images, ids, params, mask):
+        masking = bool(self.cfg.masking)
+        return np.asarray(self._runner(
+            images, ids, params, mask_params=mask if masking else None))
+
     def __call__(self, images, seed=0):
         """Retouch a [B, H, W, 3] batch (uint8 or float32 linear)."""
         images = jnp.asarray(images)
         key = jax.random.PRNGKey(seed)
         sig = (images.shape, images.dtype)
         if self.grouped:
-            if sig not in self._plan_fns:
-                self._plan_fns[sig] = self._plan(images.shape,
-                                                 images.dtype)
-            ids, params, mask = self._plan_fns[sig](
-                self.state.gen_params, images, key)
-            masking = bool(self.cfg.masking)
-            return np.asarray(self._runner(
-                images, ids, params,
-                mask_params=mask if masking else None))
+            ids, params, mask = self._plan_for(images, key)
+            return self._replay(images, ids, params, mask)
         if sig not in self._fns:
             self._fns[sig] = self._build(images.shape, images.dtype)
         return np.asarray(self._fns[sig](self.state.gen_params, images,
                                          key))
+
+    def map_batches(self, batches, seed=0):
+        """Retouch a STREAM of equally-shaped batches, software-pipelined:
+        batch i+1's policy plan is dispatched to the device before batch
+        i's replay is resolved, so the plan's device work and the
+        grouped path's ids host-readback overlap replay execution.
+        Yields numpy results in order.
+
+        >>> for out in pipe.map_batches(batch_iter()): ...
+        """
+        if not self.grouped:
+            for i, imgs in enumerate(batches):
+                yield self(imgs, seed=seed + i)
+            return
+        base = jax.random.PRNGKey(seed)
+        prev = None
+        for i, imgs in enumerate(batches):
+            imgs = jnp.asarray(imgs)
+            plan = self._plan_for(imgs, jax.random.fold_in(base, i))
+            if prev is not None:
+                yield self._replay(*prev)
+            prev = (imgs,) + tuple(plan)
+        if prev is not None:
+            yield self._replay(*prev)
