@@ -23,9 +23,16 @@ from exposure_tpu.utils.config import load_config
 def quality_report(cfg, n=256, ckpt=None, model_root='models', seed=0,
                    state=None):
     fake_test = cfg.fake_data_provider_test()
-    real = cfg.real_data_provider()
-    inputs, _ = fake_test.get_next_batch(n)
-    targets, _ = real.get_next_batch(n)
+    supervised = bool(cfg.get('supervised', False))
+    if supervised:
+        # paired provider: [B, 2, S, S, C] (input, ground truth) — score
+        # against the pixel-aligned ground truth set
+        pairs, _ = fake_test.get_next_batch(n)
+        inputs, targets = pairs[:, 0], pairs[:, 1]
+    else:
+        real = cfg.real_data_provider()
+        inputs, _ = fake_test.get_next_batch(n)
+        targets, _ = real.get_next_batch(n)
 
     ev = Evaluator(cfg, model_root=model_root, ckpt=ckpt, state=state)
     traj, applied = ev.plan_trajectory(inputs, jax.random.PRNGKey(seed))
@@ -35,7 +42,7 @@ def quality_report(cfg, n=256, ckpt=None, model_root='models', seed=0,
                                 np.clip(targets, 0, 1))
     after = compare_image_sets(np.clip(outputs, 0, 1),
                                np.clip(targets, 0, 1))
-    return {
+    report = {
         'n': n,
         'intersection_before': [round(float(x), 4) for x in before],
         'intersection_after': [round(float(x), 4) for x in after],
@@ -43,6 +50,12 @@ def quality_report(cfg, n=256, ckpt=None, model_root='models', seed=0,
         'avg_after': round(float(np.mean(after)), 4),
         'avg_steps_applied': round(float(np.mean(applied)), 2),
     }
+    if supervised:
+        report['mse_before'] = round(float(
+            np.mean((np.clip(inputs, 0, 1) - targets) ** 2)), 5)
+        report['mse_after'] = round(float(
+            np.mean((np.clip(outputs, 0, 1) - targets) ** 2)), 5)
+    return report
 
 
 def main():

@@ -127,3 +127,21 @@ def test_supervised_fused_dispatch(tmp_path):
     assert int(trainer.state.step) == 9
     assert np.isfinite(np.asarray(metrics.g_loss))
     assert float(metrics.emd) == 0.0  # no critic phase ever ran
+
+
+def test_quality_report_supervised_branch(tmp_path):
+    # the report scores against the paired ground truth and adds MSE
+    from exposure_tpu.core.trainer import Trainer
+    from exposure_tpu.tools.quality_report import quality_report
+    cfg = load_config('supervised_test').copy()
+    cfg.name = 'supervised_test/qr'
+    cfg.max_iter_step = 1
+    trainer = Trainer(cfg, restore=False, model_root=str(tmp_path))
+    trainer.train()
+    if trainer.tee:
+        trainer.tee.close()
+    r = quality_report(cfg, n=8, model_root=str(tmp_path),
+                       state=trainer.state)
+    assert 'mse_before' in r and 'mse_after' in r
+    assert r['mse_before'] > 0
+    assert len(r['intersection_after']) == 3
