@@ -1,14 +1,15 @@
-"""Per-filter throughput microbenchmark for the fused chain kernel.
+"""Per-filter throughput microbenchmark for the fused chain kernels.
 
-The kernel's cost is branch-dependent (lax.switch executes the selected
-filter's math per image): a trained policy picks pow/HSV-heavy filters,
-so serving throughput depends on the action mix.  This tool forces
-every trajectory step to one filter at a time and reports per-filter
-images/sec at the benchmark shape — the data needed to find and fix the
-slow branch.
+Times a K-step chain of each single filter through the SWITCHLESS static
+kernel (signature = (fid,)*K — what the grouped serving path runs), with
+dependency-honest slope timing (see tools/bench_truth.py: on the
+remote-TPU testbed ``block_until_ready`` can acknowledge early, so
+naive loop timing lies).  This is the true per-branch cost table; the
+``lax.switch`` kernel costs roughly the SUM of this table's rows per
+step, because Mosaic's lowering executes every branch.
 
 Usage: python -m exposure_tpu.tools.bench_filters [--batch 256]
-       [--res 512] [--steps 5] [--f32] [--iters 5]
+       [--res 512] [--steps 5] [--f32]
 """
 
 import argparse
@@ -20,8 +21,23 @@ import jax.numpy as jnp
 import numpy as np
 
 from exposure_tpu.ops.filters import max_filter_parameters
-from exposure_tpu.ops.pallas_chain import pallas_apply_filter_chain
+from exposure_tpu.ops.pallas_chain import pallas_apply_filter_chain_static
 from exposure_tpu.utils.config import load_config
+
+
+def slope_time(fn, *args, n_small=5, n_big=20, rounds=2):
+    def run(n):
+        t0 = time.time()
+        out = None
+        for _ in range(n):
+            out = fn(*args)
+        np.asarray(out[0, :2, :2, 0])
+        return time.time() - t0
+
+    run(2)
+    t_s = min(run(n_small) for _ in range(rounds))
+    t_b = min(run(n_big) for _ in range(rounds))
+    return max((t_b - t_s) / (n_big - n_small), 1e-9)
 
 
 def main():
@@ -29,9 +45,7 @@ def main():
     parser.add_argument('--batch', type=int, default=256)
     parser.add_argument('--res', type=int, default=512)
     parser.add_argument('--steps', type=int, default=5)
-    parser.add_argument('--iters', type=int, default=5)
     parser.add_argument('--f32', action='store_true')
-    parser.add_argument('--kernel-bf16', action='store_true')
     parser.add_argument('--interpret', action='store_true')
     parser.add_argument('--cpu', action='store_true')
     args = parser.parse_args()
@@ -49,43 +63,34 @@ def main():
     img = jnp.asarray(imgf if args.f32 else
                       (imgf * 255).round().astype(np.uint8))
 
-    cdt = jnp.bfloat16 if args.kernel_bf16 else jnp.float32
-    fn = jax.jit(lambda im, ids, params: pallas_apply_filter_chain(
-        im, ids, params, filters, interpret=args.interpret,
-        compute_dtype=cdt))
-
     results = {}
+    total_ms = 0.0
     for fid, f in enumerate(filters):
         n = f.get_num_filter_parameters()
-        raw = rng.randn(b, n).astype(np.float32)
+        raw = rng.randn(b, n).astype(np.float32) * 0.3
         reg = np.asarray(f.filter_param_regressor(jnp.asarray(raw)))
         params = np.zeros((k, b, max_p), np.float32)
         params[:, :, :n] = reg.reshape(1, b, n)
-        ids = jnp.full((k, b), fid, jnp.int32)
         params = jnp.asarray(params)
-
-        out = fn(img, ids, params)
-        jax.block_until_ready(out)  # compile once (shape-identical; the
-        # switch makes all ids one program, so only the first compiles)
-        best = float('inf')
-        for _ in range(3):
-            t0 = time.time()
-            for _ in range(args.iters):
-                out = fn(img, ids, params)
-            jax.block_until_ready(out)
-            best = min(best, (time.time() - t0) / args.iters)
-        ips = b / best
+        sig = (fid,) * k
+        fn = jax.jit(lambda im, p, s=sig: pallas_apply_filter_chain_static(
+            im, s, p, filters, interpret=args.interpret))
+        dt = slope_time(fn, img, params)
+        ips = b / dt
         results[f.get_short_name()] = round(ips, 1)
-        print('  %-3s %10.0f img/s  (%.2f ms/batch)'
-              % (f.get_short_name(), ips, best * 1000))
+        total_ms += dt * 1000
+        print('  %-3s %10.0f img/s  (%.2f ms/batch, %d steps)'
+              % (f.get_short_name(), ips, dt * 1000, k))
 
     print(json.dumps({
         'metric': 'per_filter_images_per_sec',
         'shape': [b, res, res],
         'steps': k,
         'dtype': 'f32' if args.f32 else 'u8',
-        'compute': 'bf16' if args.kernel_bf16 else 'f32',
+        'kernel': 'static_switchless',
+        'timing': 'serialized_slope',
         'per_filter': results,
+        'sum_all_branches_ms': round(total_ms, 1),
     }))
 
 
