@@ -118,6 +118,14 @@ def _decayed(mul):
 cfg.lr_g = _decayed(_generator_lr_mul)
 cfg.lr_c = _decayed(_critic_lr_mul)
 
+# --- dispatch (exposure_tpu extension; no reference counterpart) ----------
+# Fuse up to N plain outer iterations into one device dispatch
+# (bit-identical RNG to per-iteration dispatch, core/steps.py) and defer
+# bookkeeping by `dispatch_pipeline_depth` chunks so metric fetches
+# overlap device execution (core/trainer.py).
+cfg.iters_per_dispatch = 100
+cfg.dispatch_pipeline_depth = 2
+
 # --- observability (reference config_example.py:167-173) ------------------
 cfg.update(
     vis_draw_critic_scores=True,

@@ -7,9 +7,12 @@ from exposure_tpu.utils.config import load_config
 
 cfg = load_config('example')
 
-# amortize remote-dispatch latency: 10 plain iterations per fused call
-# (bit-identical to single dispatch; core/steps.py)
-cfg.iters_per_dispatch = 10
+# amortize remote-dispatch latency: up to 100 plain iterations per fused
+# call (bit-identical to single dispatch; metrics come back stacked per
+# iteration so the 10-iter logging cadence is preserved, core/steps.py);
+# bookkeeping is pipelined 2 chunks behind dispatch (core/trainer.py)
+cfg.iters_per_dispatch = 100
+cfg.dispatch_pipeline_depth = 2
 
 cfg.fake_data_provider = lambda: SyntheticDataProvider(
     n=2048, size=80, style='raw', seed=0,

@@ -18,6 +18,10 @@ cfg.summary_freq = 5
 cfg.write_image_interval = 0
 cfg.warmup_giters = 6
 cfg.checkpoint_interval = 2
+# single-dispatch in tests (the fused/pipelined path has its own
+# dedicated tests: test_e2e.py::test_fused_dispatch_training)
+cfg.iters_per_dispatch = 1
+cfg.dispatch_pipeline_depth = 0
 
 # shrunken networks for fast CPU compilation
 cfg.base_channels = 16

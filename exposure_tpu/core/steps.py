@@ -254,7 +254,10 @@ def build_fused_iterations_step(cfg, policy, critic_mod, value_mod,
     Call signature:
       step(state, pool, fake_images, real_images, base_key,
            iter_idx [N] int32, lr_gs [N], lr_cs [N], progresses [N])
-    Returns (state, pool, metrics-of-last-iteration).
+    Returns (state, pool, metrics) where every StepMetrics field is
+    stacked per iteration (shape [N]) — one device->host fetch yields
+    the full logging cadence for the whole chunk, so chunks can span
+    many logging boundaries without losing observability.
     """
     n_dev = _check_divisibility(cfg, mesh)
     local_batch = cfg.batch_size // n_dev
@@ -325,8 +328,7 @@ def build_fused_iterations_step(cfg, policy, critic_mod, value_mod,
 
         (state, pool), all_metrics = jax.lax.scan(
             body, (state, pool), (iter_idx, lr_gs, lr_cs, progresses))
-        last = jax.tree_util.tree_map(lambda x: x[-1], all_metrics)
-        return state, pool, last
+        return state, pool, all_metrics
 
     mapped = jax.shard_map(
         sharded_step,
@@ -348,16 +350,17 @@ def build_streaming_outer_step(cfg, policy, critic_mod, value_mod, filters,
     where
       g_fresh:      [giters, 2*batch + pool, S, S, C] fresh RAW crops
                     (per g-iter: batch for selection backfill, batch for
-                    over-length replacement, pool for dropped slots);
+                    over-length replacement, pool for dropped slots); in
+                    supervised mode the last C channels carry the paired
+                    ground truth ([..., 2C] channel-stacked);
       real_batches: [citers, batch, S, S, C] target crops.
-
-    Streaming supervised mode is not implemented (packs fit trivially in
-    the paired case we support).
     """
     n_dev = _check_divisibility(cfg, mesh)
     local_batch = cfg.batch_size // n_dev
-    assert not cfg.get('supervised', False), (
-        'streaming supervised mode not implemented')
+    supervised = bool(cfg.get('supervised', False))
+    if supervised:
+        assert citers == 0, 'supervised mode has no critic updates'
+    img_channels = cfg.get('real_img_channels', 3)
     g_update, c_update = _make_phase_bodies(
         cfg, policy, critic_mod, value_mod, filters, tx, local_batch)
 
@@ -368,12 +371,17 @@ def build_streaming_outer_step(cfg, policy, critic_mod, value_mod, filters,
         local_pool = pool.size
         b = local_batch
 
+        def pair(x):
+            if supervised:
+                return x[..., :img_channels], x[..., img_channels:]
+            return x, None
+
         def g_body(carry, xs):
             st, pl = carry
             k, fresh = xs
             k_sel, k_step, k_keep = jax.random.split(k, 3)
-            triplet = ((fresh[:b], None), (fresh[b:2 * b], None),
-                       (fresh[2 * b:2 * b + local_pool], None))
+            triplet = (pair(fresh[:b]), pair(fresh[b:2 * b]),
+                       pair(fresh[2 * b:2 * b + local_pool]))
             st, pl, outs = g_update(st, pl, triplet,
                                     (k_sel, k_step, k_keep), lr_g,
                                     progress)

@@ -50,34 +50,46 @@ def _show_realtime(img, title):
         print('# realtime_vis unavailable (%s); continuing headless' % e)
 
 
+def is_special_iteration(i, cfg, supervised):
+    """Iterations that need their own dispatch schedule: the iter-0
+    warmup (100 G updates at lr 0) and the citers bursts at
+    initialization and every 500 iters (reference net.py:312-328)."""
+    if i == 0:
+        return True
+    if supervised:
+        return False
+    return cfg.gan == 'w' and (i < cfg.critic_initialization or
+                               i % 500 == 0)
+
+
 def plan_fused_chunk(it, cfg, n_fuse, supervised):
     """How many consecutive iterations starting at ``it`` can run in one
     fused dispatch without crossing a schedule or bookkeeping boundary.
 
     Returns 1 (single-dispatch path) for special iterations (warmup,
     critic bursts) and otherwise the largest c <= n_fuse such that
-    [it, it+c) contains no burst iteration and ends exactly on a
-    logging boundary (multiples of 10) without crossing checkpoint or
-    visualization boundaries."""
+    [it, it+c) contains no burst iteration.  The fused step returns
+    metrics for EVERY iteration in the chunk, so chunks may span any
+    number of 10-iter logging boundaries; they still end exactly ON
+    checkpoint iterations ((j+1) % interval == 0) to keep the
+    checkpoint cadence, and ON visualization iterations
+    (j % write_image_interval == 0) so the grid is drawn from the
+    state at that iteration."""
     def special(i):
-        if i == 0:
-            return True
-        if supervised:
-            return False
-        return cfg.gan == 'w' and (i < cfg.critic_initialization or
-                                   i % 500 == 0)
+        return is_special_iteration(i, cfg, supervised)
 
     if n_fuse <= 1 or special(it):
         return 1
-    end = min(it + n_fuse - 1,               # chunk budget
-              ((it // 10) + 1) * 10,         # end ON a logging boundary
-              cfg.max_iter_step)
+    end = min(it + n_fuse - 1, cfg.max_iter_step)
     ckpt = cfg.get('checkpoint_interval', 500)
+    wii = cfg.get('write_image_interval', 0)
     for j in range(it, end + 1):
         if j > it and special(j):
             return j - it
         if (j + 1) % ckpt == 0 and j < end:
             return j - it + 1              # end ON the checkpoint iter
+        if wii and j % wii == 0 and j < end:
+            return j - it + 1              # end ON the viz iter
     return end - it + 1
 
 
@@ -242,15 +254,25 @@ class Trainer:
         return self._steps[key]
 
     def _assemble_stream(self, giters, citers):
-        """Host-side fresh-data assembly for one streaming call."""
+        """Host-side fresh-data assembly for one streaming call; in
+        supervised mode each fresh image carries its paired ground truth
+        channel-stacked ([..., 2C])."""
         cfg = self.cfg
         b, p = cfg.batch_size, cfg.replay_memory_size
         chunk = 2 * b + p
+        c = cfg.real_img_channels
         g_fresh = np.empty((giters, chunk) +
                            (cfg.source_img_size, cfg.source_img_size,
-                            cfg.real_img_channels), np.float32)
+                            (2 * c if self.supervised else c)),
+                           np.float32)
         for i in range(giters):
-            g_fresh[i] = self.fake_provider.get_next_batch(chunk)[0]
+            batch = self.fake_provider.get_next_batch(chunk)[0]
+            if self.supervised:
+                # paired provider yields [n, 2, S, S, C]
+                g_fresh[i, ..., :c] = batch[:, 0]
+                g_fresh[i, ..., c:] = batch[:, 1]
+            else:
+                g_fresh[i] = batch
         if citers > 0:
             real = np.stack([self.real_provider.get_next_batch(b)[0]
                              for _ in range(citers)])
@@ -274,36 +296,90 @@ class Trainer:
 
     def train(self):
         """Run the training loop; set ``cfg.profile_dir`` to capture a
-        jax.profiler device trace of iterations 20-30 (TensorBoard-
-        compatible; the reference's RunMetadata equivalent,
-        net.py:310-354)."""
+        jax.profiler device trace starting around iteration 20
+        (TensorBoard-compatible; the reference's RunMetadata equivalent,
+        net.py:310-354).
+
+        Dispatch is SOFTWARE-PIPELINED: every chunk's bookkeeping
+        (metric fetch + logging + checkpoint + viz) is deferred by
+        ``cfg.dispatch_pipeline_depth`` (default 2) chunks, so the
+        erratic device->host metric fetch of chunk N overlaps the device
+        execution of chunks N+1..N+depth instead of serializing with it
+        — on a remote-tunnel testbed the fetch latency (25-900 ms) would
+        otherwise dominate wall-clock.  Checkpoints/viz read the
+        chunk-end state/pool references held in the pending record, so
+        their artifacts are bit-identical to unpipelined execution."""
+        import collections
+        import concurrent.futures
         cfg = self.cfg
         profile_dir = cfg.get('profile_dir', None)
         start_t = time.time()
-        g_pool = MedianWindow(cfg.median_filter_size)
-        v_pool = MedianWindow(cfg.median_filter_size)
-        emd_pool = MedianWindow(cfg.median_filter_size)
-        metrics_last = None
+        books = {'g': MedianWindow(cfg.median_filter_size),
+                 'v': MedianWindow(cfg.median_filter_size),
+                 'emd': MedianWindow(cfg.median_filter_size),
+                 'start_t': start_t, 'start_iter': int(self.state.step),
+                 'timed_iters': 0, 'timed_secs': 0.0,
+                 'first_skipped': False}
         base_key = jax.random.PRNGKey(cfg.get('seed', 0) + 1)
         start_iter = int(self.state.step)
 
         n_fuse = 1 if self.streaming else \
             int(cfg.get('iters_per_dispatch', 1))
+        depth = max(0, int(cfg.get('dispatch_pipeline_depth', 2)))
+        pending = collections.deque()
+        self._metrics_last = None
+        self._prof_on = self._prof_done = False
+        last_t = [time.time()]
+        # background workers for checkpoint writes and viz: both fetch
+        # large arrays through the tunnel and must not serialize with
+        # dispatch.  Separate single-worker lanes so a slow viz job
+        # (first call compiles the bundle) cannot delay checkpoint
+        # durability; each lane stays FIFO.
+        self._bg = {
+            'ckpt': concurrent.futures.ThreadPoolExecutor(max_workers=1),
+            'viz': concurrent.futures.ThreadPoolExecutor(max_workers=1),
+        }
+        self._bg_futures = []
+        # all special-iteration phase keys in ONE dispatch + fetch
+        # (eager fold_in per burst costs 2 tunnel round trips each)
+        if not self.streaming:
+            specials = [i for i in range(start_iter,
+                                         cfg.max_iter_step + 1)
+                        if is_special_iteration(i, cfg, self.supervised)]
+            phase_keys = self._precompute_phase_keys(base_key, specials)
+        else:
+            phase_keys = {}
+
+        def push(it0, chunk, citers, metrics):
+            now = time.time()
+            pending.append((it0, chunk, citers, metrics, self.state,
+                            self.pool, now - last_t[0]))
+            last_t[0] = now
+            while len(pending) > depth:
+                self._process_record(pending.popleft(), books)
+            # surface background checkpoint failures promptly
+            for f in list(self._bg_futures):
+                if f.done():
+                    self._bg_futures.remove(f)
+                    f.result()
+
         it = start_iter
         while it <= cfg.max_iter_step:
-            iter_t = time.time()
+            if profile_dir and not self._prof_on and it >= 20:
+                jax.profiler.start_trace(profile_dir)
+                self._prof_on = True
+            if profile_dir and self._prof_on and not self._prof_done \
+                    and it > 30:
+                jax.profiler.stop_trace()
+                self._prof_done = True
+
             chunk = plan_fused_chunk(it, cfg, n_fuse, self.supervised)
             if chunk > 1:
                 citers = cfg.citers if not self.supervised else 0
                 metrics = self._run_fused(it, chunk, base_key)
-                it_end = it + chunk - 1
-                self.state = self.state.replace(step=jnp.int32(it_end + 1))
-                it = it_end
-                self._post_iteration(it, iter_t, chunk, citers, metrics,
-                                     g_pool, v_pool, emd_pool, start_t,
-                                     start_iter)
-                metrics_last = metrics
-                it += 1
+                self.state = self.state.replace(step=np.int32(it + chunk))
+                push(it, chunk, citers, metrics)
+                it += chunk
                 continue
 
             progress = it / cfg.max_iter_step
@@ -320,56 +396,84 @@ class Trainer:
             lr_g = 0.0 if it == 0 else cfg.lr_g(it)
             lr_c = cfg.lr_c(it)
 
-            if profile_dir and it == 20:
-                jax.profiler.start_trace(profile_dir)
-            if profile_dir and it == 30:
-                jax.profiler.stop_trace()
+            # Device-resident mode runs each phase (normal iters, the
+            # iter-0 warmup, citers bursts) as ONE dispatch of a
+            # phase-sized program — a 100-update burst is one compiled
+            # scan, not 20 round trips.  Streaming mode keeps the
+            # cfg-sized programs and loops, bounding the per-call host
+            # data bundle.  For plain iterations both paths fold RNG
+            # identically (g phase sub 0, c phase sub 1 — the contract
+            # the fused chunks reproduce bit-exactly).
+            pk = phase_keys.get(it)
+            it_key = jax.random.fold_in(base_key, it) if pk is None \
+                else None
 
-            # Every (giters, citers) schedule (normal iters, the iter-0
-            # warmup, citers bursts) is composed from just TWO compiled
-            # programs — a generator-phase step and a critic-phase step.
-            # Remote compiles cost minutes; per-call dispatch costs
-            # microseconds.
-            it_key = jax.random.fold_in(base_key, it)
-
-            def run(step, sub, lr_g_, phase):
+            def run(step, sub, lr_g_, phase, g_n, c_n):
                 if self.streaming:
-                    if phase == 'g':
-                        data = self._stream_bundle(cfg.giters, 0)
-                    else:
-                        data = self._stream_bundle(0, cfg.citers)
+                    data = self._stream_bundle(g_n, 0) if phase == 'g' \
+                        else self._stream_bundle(0, c_n)
                 else:
                     data = (self.fake_images, self.real_images)
-                return step(self.state, self.pool, *data,
-                            jax.random.fold_in(it_key, sub),
-                            jnp.float32(lr_g_), jnp.float32(lr_c),
-                            jnp.float32(progress))
+                key = pk[sub] if pk is not None and sub < 2 \
+                    else jax.random.fold_in(it_key, sub)
+                return step(self.state, self.pool, *data, key,
+                            np.float32(lr_g_), np.float32(lr_c),
+                            np.float32(progress))
 
-            g_step = self._get_step(cfg.giters, 0)
+            g_n = cfg.giters if self.streaming else giters
+            g_step = self._get_step(g_n, 0)
             sub = 0
-            for _ in range(max(giters // cfg.giters, 1)):
+            for _ in range(max(giters // g_n, 1)):
                 self.state, self.pool, metrics = run(g_step, sub, lr_g,
-                                                     'g')
+                                                     'g', g_n, 0)
                 sub += 1
             if citers > 0:
-                c_step = self._get_step(0, cfg.citers)
+                c_n = cfg.citers if self.streaming else citers
+                c_step = self._get_step(0, c_n)
                 c_metrics = metrics
-                for _ in range(max(citers // cfg.citers, 1)):
+                for _ in range(max(citers // c_n, 1)):
                     self.state, self.pool, c_metrics = run(c_step, sub,
-                                                           lr_g, 'c')
+                                                           lr_g, 'c', 0,
+                                                           c_n)
                     sub += 1
                 metrics = metrics._replace(
                     emd=c_metrics.emd,
                     critic_gradient_norm=c_metrics.critic_gradient_norm,
                     pool_avg_trajectory=c_metrics.pool_avg_trajectory,
                     pool_terminated_frac=c_metrics.pool_terminated_frac)
-            self.state = self.state.replace(step=jnp.int32(it + 1))
-            self._post_iteration(it, iter_t, 1, citers, metrics, g_pool,
-                                 v_pool, emd_pool, start_t, start_iter)
-            metrics_last = metrics
+            self.state = self.state.replace(step=np.int32(it + 1))
+            push(it, 1, citers, metrics)
             it += 1
 
-        return metrics_last
+        while pending:
+            self._process_record(pending.popleft(), books)
+        for ex in self._bg.values():
+            ex.shutdown(wait=True)
+        for f in self._bg_futures:
+            f.result()
+        self._bg = None
+        # guarantee the newest checkpoint boundary reached disk (the
+        # idle-worker gate above may have skipped the last boundary)
+        pend = getattr(self, '_ckpt_pending', None)
+        if pend is not None and \
+                getattr(self, '_ckpt_saved_step', -1) < pend[1]:
+            self._ckpt_requested = pend[1]
+            self._save_ckpt_job(*pend)
+        if profile_dir and self._prof_on and not self._prof_done:
+            jax.profiler.stop_trace()
+        return self._metrics_last
+
+    def _precompute_phase_keys(self, base_key, iters):
+        """(g, c) phase keys for the given iterations, computed in ONE
+        jitted dispatch and fetched once as numpy — identical key math
+        to the eager fold_in(fold_in(base, it), sub) pair."""
+        if not iters:
+            return {}
+        f = jax.jit(lambda k, its: jax.vmap(lambda i: jnp.stack([
+            jax.random.fold_in(jax.random.fold_in(k, i), 0),
+            jax.random.fold_in(jax.random.fold_in(k, i), 1)]))(its))
+        arr = np.asarray(f(base_key, np.asarray(iters, np.int32)))
+        return {int(i): arr[n] for n, i in enumerate(iters)}
 
     def _run_fused(self, it, chunk, base_key):
         """Dispatch ``chunk`` plain iterations as one fused scan call."""
@@ -386,74 +490,132 @@ class Trainer:
             print('# compiled fused step (giters=%d, citers=%d, n=%d) '
                   'handle in %.1fs' % (cfg.giters, citers, chunk,
                                        time.time() - t0))
+        # numpy args bind inside the ONE jitted dispatch; building jnp
+        # arrays here would cost one eager host->device round trip each
+        # (25-900 ms on the remote tunnel)
         iters = np.arange(it, it + chunk, dtype=np.int32)
-        lr_gs = jnp.asarray([cfg.lr_g(j) for j in iters], jnp.float32)
-        lr_cs = jnp.asarray([cfg.lr_c(j) for j in iters], jnp.float32)
-        progs = jnp.asarray(iters / cfg.max_iter_step, jnp.float32)
+        lr_gs = np.asarray([cfg.lr_g(j) for j in iters], np.float32)
+        lr_cs = np.asarray([cfg.lr_c(j) for j in iters], np.float32)
+        progs = np.asarray(iters / cfg.max_iter_step, np.float32)
         self.state, self.pool, metrics = self._steps[key](
             self.state, self.pool, self.fake_images, self.real_images,
-            base_key, jnp.asarray(iters), lr_gs, lr_cs, progs)
+            base_key, iters, lr_gs, lr_cs, progs)
         return metrics
 
-    def _post_iteration(self, it, iter_t, chunk, citers, metrics, g_pool,
-                        v_pool, emd_pool, start_t, start_iter):
-        """Per-iteration bookkeeping (logging, checkpoints, viz) shared by
-        the single-dispatch and fused paths; ``it`` is the LAST iteration
-        the dispatch covered."""
+    def _process_record(self, rec, books):
+        """Deferred bookkeeping for one dispatched chunk: metric fetch,
+        logging for every 10th iteration inside the chunk, the NaN
+        guard, checkpointing and visualization — all from the chunk-end
+        state/pool references captured at dispatch time, so pipelining
+        never changes what gets saved or drawn."""
+        it0, chunk, citers, metrics, state, pool, interval = rec
+        g_pool, v_pool, emd_pool = books['g'], books['v'], books['emd']
+        start_t, start_iter = books['start_t'], books['start_iter']
         cfg = self.cfg
-        if it % 10 == 0:
-            m = jax.device_get(metrics)
-            if not all(np.isfinite(v) for v in m):
-                # failure detection: surface divergence immediately
-                # with a diagnostic dump instead of training on NaNs
-                dump = os.path.join(self.dir,
-                                    'diverged-%06d.msgpack' % it)
-                save_checkpoint(self.dir, self.state, it, keep=10)
-                raise FloatingPointError(
-                    'non-finite training metrics at iter %d: %s '
-                    '(state dumped near %s)' % (it, m, dump))
-            warn = pool_health_warning(citers, self.supervised,
-                                       m.pool_terminated_frac)
-            if warn:
-                print('# WARNING (it %d): %s' % (it, warn))
-            g_pool.add(m.g_loss)
-            v_pool.add(m.v_loss)
-            emd_pool.add(m.emd)
-            ms = 1000 * (time.time() - iter_t) / chunk
-            print('it%6d,%5.0f ms/it, g_loss=%.2f, v_loss=%.2f, '
-                  'EMD=%.3f, cgn=%.2f' %
-                  (it, ms, g_pool.median(), v_pool.median(),
-                   emd_pool.median(), m.critic_gradient_norm))
-            self._logger.log(it, g_loss=m.g_loss, v_loss=m.v_loss,
-                             emd=m.emd, cgn=m.critic_gradient_norm,
-                             reward=m.reward,
-                             pool_avg_traj=m.pool_avg_trajectory,
-                             pool_term_frac=m.pool_terminated_frac,
-                             ms_per_iter=ms)
+        it_end = it0 + chunk - 1
+        m = jax.device_get(metrics)
+        # fused chunks stack metrics per iteration; the single path
+        # yields scalars — normalize to [chunk]-indexed arrays
+        from exposure_tpu.core.steps import StepMetrics
+        flat = StepMetrics(*[np.reshape(np.asarray(v), (-1,)) for v in m])
+        self._metrics_last = StepMetrics(*[v[-1] for v in flat])
+        if not all(np.isfinite(v).all() for v in flat):
+            # failure detection: surface divergence immediately
+            # with a diagnostic dump instead of training on NaNs
+            dump = save_checkpoint(self.dir, state, it_end, keep=10)
+            raise FloatingPointError(
+                'non-finite training metrics in iters [%d, %d]: %s '
+                '(state dumped at %s)' % (it0, it_end, m, dump))
+        # amortized wall ms/it: per-chunk dispatch intervals telescope to
+        # total wall time, so the cumulative ratio is honest even though
+        # async dispatch makes individual intervals meaningless; the
+        # first interval (compile-tainted) is excluded
+        if books['first_skipped']:
+            books['timed_iters'] += chunk
+            books['timed_secs'] += interval
+        else:
+            books['first_skipped'] = True
+        ms = 1000.0 * books['timed_secs'] / max(books['timed_iters'], 1)
+        for j in range(it0, it_end + 1):
+            if j % 10 == 0:
+                i = min(j - it0, flat.g_loss.shape[0] - 1)
+                warn = pool_health_warning(citers, self.supervised,
+                                           flat.pool_terminated_frac[i])
+                if warn:
+                    print('# WARNING (it %d): %s' % (j, warn))
+                g_pool.add(flat.g_loss[i])
+                v_pool.add(flat.v_loss[i])
+                emd_pool.add(flat.emd[i])
+                print('it%6d,%5.0f ms/it, g_loss=%.2f, v_loss=%.2f, '
+                      'EMD=%.3f, cgn=%.2f' %
+                      (j, ms, g_pool.median(), v_pool.median(),
+                       emd_pool.median(), flat.critic_gradient_norm[i]))
+                self._logger.log(
+                    j, g_loss=flat.g_loss[i], v_loss=flat.v_loss[i],
+                    emd=flat.emd[i], cgn=flat.critic_gradient_norm[i],
+                    reward=flat.reward[i],
+                    pool_avg_traj=flat.pool_avg_trajectory[i],
+                    pool_term_frac=flat.pool_terminated_frac[i],
+                    ms_per_iter=ms)
+            if j % 100 == 0:
+                i = min(j - it0, flat.g_loss.shape[0] - 1)
+                ela = (time.time() - start_t) / 60.0
+                eta = (time.time() - start_t) / (j - start_iter + 1) / \
+                    3600 * (cfg.max_iter_step - j)
+                print('#--------------------------------------------')
+                print('# Task: %s  ela. %.2f min  ETA: %.1f h' %
+                      (cfg.name, ela, eta))
+                print('# Replay pool: avg. traj. %.2f, terminated %.0f%%'
+                      % (flat.pool_avg_trajectory[i],
+                         100 * flat.pool_terminated_frac[i]))
 
-        if it % 100 == 0:
-            m = jax.device_get(metrics)
-            ela = (time.time() - start_t) / 60.0
-            eta = (time.time() - start_t) / (it - start_iter + 1) / \
-                3600 * (cfg.max_iter_step - it)
-            print('#--------------------------------------------')
-            print('# Task: %s  ela. %.2f min  ETA: %.1f h' %
-                  (cfg.name, ela, eta))
-            print('# Replay pool: avg. traj. %.2f, terminated %.0f%%' %
-                  (m.pool_avg_trajectory,
-                   100 * m.pool_terminated_frac))
+        if (it_end + 1) % cfg.get('checkpoint_interval', 500) == 0:
+            # checkpoint boundaries can arrive faster than one ~100 MB
+            # save completes (wall-clock per 500 iters is seconds here);
+            # submit only when the worker is idle — crash-recovery
+            # granularity becomes one save-duration, and the newest
+            # skipped boundary is guaranteed at drain time
+            self._ckpt_pending = (state, it_end + 1)
+            last = getattr(self, '_ckpt_future', None)
+            if last is None or last.done():
+                self._ckpt_requested = it_end + 1
+                self._ckpt_future = self._bg_run(
+                    'ckpt', self._save_ckpt_job, state, it_end + 1)
 
-        if (it + 1) % cfg.get('checkpoint_interval', 500) == 0:
-            path = save_checkpoint(self.dir, self.state, it + 1)
-            print('# checkpoint saved:', path)
+        wii = cfg.get('write_image_interval', 0)
+        if wii and any(j % wii == 0 for j in range(it0, it_end + 1)):
+            self._bg_run('viz', self._viz_job, it_end, state, pool)
 
-        wii = cfg.write_image_interval
-        if wii and any(j % wii == 0
-                       for j in range(it - chunk + 1, it + 1)):
-            try:
-                self.visualize(it)
-            except Exception as e:  # viz must never kill training
-                print('# visualization failed:', e)
+    def _save_ckpt_job(self, state, step):
+        # coalesce: when the worker falls behind, only the NEWEST
+        # requested checkpoint matters (keep-N pruning discards older
+        # ones anyway); each save fetches ~100 MB through the tunnel,
+        # so writing a stale backlog serially would stall the drain
+        if getattr(self, '_ckpt_requested', step) > step:
+            return
+        path = save_checkpoint(self.dir, state, step)
+        self._ckpt_saved_step = step
+        print('# checkpoint saved:', path)
+
+    def _viz_job(self, it, state, pool):
+        try:
+            self.visualize(it, state=state, pool=pool)
+        except Exception as e:  # viz must never kill training
+            print('# visualization failed:', e)
+
+    def _bg_run(self, lane, fn, *args):
+        """Run a bookkeeping job on the named background lane
+        (checkpoint writes and viz each fetch MBs through the tunnel;
+        they must not serialize with dispatch).  Falls back to
+        synchronous execution outside a train() loop.  Returns the
+        future (or None when run synchronously)."""
+        bg = getattr(self, '_bg', None)
+        if bg is None:
+            fn(*args)
+            return None
+        fut = bg[lane].submit(fn, *args)
+        self._bg_futures.append(fut)
+        return fut
 
     # ------------------------------------------------------------------
     def restore(self, ckpt=None):
@@ -465,78 +627,139 @@ class Trainer:
         return latest_checkpoint_step(self.dir)
 
     # ------------------------------------------------------------------
-    def run_rollout(self, images, key=None, is_train=None, num_steps=None):
+    def run_rollout(self, images, key=None, is_train=None, num_steps=None,
+                    state=None):
         """Jitted K-step rollout with the current policy weights."""
         cfg = self.cfg
         if key is None:
             key = jax.random.PRNGKey(0)
         if is_train is None:
             is_train = cfg.test_random_walk
+        if state is None:
+            state = self.state
         if self._rollout_fn is None:
             self._rollout_fn = jax.jit(
                 lambda params, imgs, k, it: rollout(
                     self.policy, params, imgs, k, cfg=cfg,
                     filters=self.filters, is_train=it,
                     num_steps=num_steps or cfg.test_steps))
-        return self._rollout_fn(self.state.gen_params, jnp.asarray(images),
+        return self._rollout_fn(state.gen_params, jnp.asarray(images),
                                 key, jnp.int32(int(is_train)))
 
-    def critic_scores(self, images):
+    def critic_scores(self, images, state=None):
         """Centered critic scores for a host batch (reference
         centered_fake_logit, net.py:166-168)."""
+        if state is None:
+            state = self.state
         if self._score_fn is None:
             self._score_fn = jax.jit(
                 lambda p, x: self.critic.apply(p, x)[:, 0])
-        logits = self._score_fn(self.state.crit_params, jnp.asarray(images))
-        return np.asarray(logits) - float(self.state.ema.value)
+        logits = self._score_fn(state.crit_params, jnp.asarray(images))
+        return np.asarray(logits) - float(state.ema.value)
 
-    def state_values(self, images, states):
+    def state_values(self, images, states, state=None):
         """V(s) for host batches (reference new_value, net.py:76-97)."""
+        if state is None:
+            state = self.state
         if getattr(self, '_value_fn', None) is None:
             self._value_fn = jax.jit(
                 lambda p, x, s: self.value.apply(p, x, s)[:, 0])
-        return np.asarray(self._value_fn(self.state.val_params,
+        return np.asarray(self._value_fn(state.val_params,
                                          jnp.asarray(images),
                                          jnp.asarray(states)))
 
-    def critic_gradients(self, images):
+    def critic_gradients(self, images, state=None):
         """Per-pixel d(critic logit)/d(image), display-scaled (reference
         fake_gradients net.py:169-171 + gradient_processor net.py:409-418:
         10*grads + 0.5 for WGAN)."""
+        if state is None:
+            state = self.state
         if getattr(self, '_grad_fn', None) is None:
             self._grad_fn = jax.jit(jax.grad(
                 lambda x, p: jnp.sum(self.critic.apply(p, x))))
-        grads = self._grad_fn(jnp.asarray(images), self.state.crit_params)
+        grads = self._grad_fn(jnp.asarray(images), state.crit_params)
         return np.clip(10.0 * np.asarray(grads) + 0.5, 0, 1)
 
-    def visualize(self, it):
+    def _viz_bundle(self):
+        """One jitted function computing EVERYTHING the visualization
+        grid needs on-device (rollout, critic gradient images, scores,
+        state values) so a viz event costs ONE dispatch + ONE fetch
+        instead of ~10 tunnel round trips."""
+        if getattr(self, '_viz_fn', None) is None:
+            cfg = self.cfg
+
+            def fn(state, pool_images, raw, real, key):
+                traj = rollout(self.policy, state.gen_params, raw, key,
+                               cfg=cfg, filters=self.filters,
+                               is_train=jnp.int32(
+                                   int(cfg.test_random_walk)),
+                               num_steps=cfg.test_steps)
+                steps = traj.images  # [K, n, S, S, C]
+                k, n = steps.shape[0], steps.shape[1]
+                flat = steps.reshape((-1,) + steps.shape[2:])
+
+                def score(x):
+                    return (self.critic.apply(state.crit_params, x)[:, 0]
+                            - state.ema.value)
+
+                grads = jax.grad(lambda x: jnp.sum(
+                    self.critic.apply(state.crit_params, x)))(flat)
+                grads = jnp.clip(10.0 * grads + 0.5, 0, 1).reshape(
+                    steps.shape)
+                flat_states = traj.states.reshape(-1, cfg.num_state_dim)
+                values = self.value.apply(
+                    state.val_params, flat, flat_states)[:, 0].reshape(
+                        (k, n))
+                return dict(
+                    traj=traj, grad_imgs=grads,
+                    scores=score(flat).reshape((k, n)),
+                    values=values, in_scores=score(raw),
+                    pool_images=pool_images,
+                    pool_scores=score(pool_images),
+                    final_scores=score(steps[-1]),
+                    real_scores=score(real))
+
+            self._viz_fn = jax.jit(fn)
+        return self._viz_fn
+
+    def visualize(self, it, state=None, pool=None):
         """Write the periodic visualization grid (reference
         net.py:420-552): rollout trajectories with per-step
         decision/operation panels on top; pool / generated / real sample
-        grids with critic-score stamps below."""
+        grids with critic-score stamps below.
+
+        ``state``/``pool`` default to the Trainer's current ones; the
+        pipelined train loop passes the chunk-end references so deferred
+        visualization is identical to unpipelined execution."""
         from exposure_tpu.utils.viz import (
             draw_score,
             draw_step_panels,
         )
         cfg = self.cfg
+        if state is None:
+            state = self.state
+        if pool is None:
+            pool = self.pool
         n = min(cfg.num_samples, 16)
         raw, _ = self.fake_provider.get_next_batch(n)
         if self.supervised:
             raw = raw[:, 0]
-        traj = self.run_rollout(raw, key=jax.random.PRNGKey(it))
+        pool_imgs_dev = pool.images[:n]
+        real_imgs, _ = self.real_provider.get_next_batch(n)
+        # ALL device work for the grid happens in ONE jitted call with
+        # ONE device->host fetch (each separate fetch through the remote
+        # tunnel costs 25-900 ms; the old 10-roundtrip version dominated
+        # wall-clock at write_image_interval cadence)
+        bundle = jax.device_get(self._viz_bundle()(
+            state, pool_imgs_dev, jnp.asarray(raw),
+            jnp.asarray(real_imgs), jax.random.PRNGKey(it)))
+        traj = bundle['traj']
         steps = np.asarray(traj.images)  # [K, n, S, S, C]
         k_steps = steps.shape[0]
-
-        # critic-gradient images, scores and values for every
-        # (sample, step) at once
-        flat_steps = steps.reshape(-1, *steps.shape[2:])
-        grad_imgs = self.critic_gradients(flat_steps).reshape(steps.shape)
-        scores = self.critic_scores(flat_steps).reshape(steps.shape[:2])
-        flat_states = np.asarray(traj.states).reshape(-1,
-                                                      cfg.num_state_dim)
-        values = self.state_values(flat_steps, flat_states).reshape(
-            steps.shape[:2])
-        in_scores = self.critic_scores(np.asarray(raw))
+        grad_imgs = bundle['grad_imgs']
+        scores = bundle['scores']
+        values = bundle['values']
+        in_scores = bundle['in_scores']
 
         from exposure_tpu.utils.viz import draw_value_reward_score
 
@@ -584,23 +807,23 @@ class Trainer:
             rows.append(np.vstack(panel_rows))
         upper = np.vstack(rows)
 
-        pool_imgs = np.asarray(jax.device_get(self.pool.images))[:n]
-        real_imgs, _ = self.real_provider.get_next_batch(n)
+        pool_imgs = np.asarray(bundle['pool_images'])
         final = steps[-1]
         per_row = 8
 
-        def grid(x, stamp=True):
+        def grid(x, x_scores):
             x = np.asarray(x)[:per_row * (len(x) // per_row)]
             if len(x) == 0:
                 return None
-            if stamp and cfg.vis_draw_critic_scores:
-                scores = self.critic_scores(x)
+            if cfg.vis_draw_critic_scores:
                 x = np.stack([draw_score(im, s, cfg.gan)
-                              for im, s in zip(x, scores)])
+                              for im, s in zip(x, x_scores)])
             return make_image_grid(x, per_row=per_row)
 
-        lowers = [g for g in (grid(pool_imgs), grid(final),
-                              grid(real_imgs)) if g is not None]
+        lowers = [g for g in (grid(pool_imgs, bundle['pool_scores']),
+                              grid(final, bundle['final_scores']),
+                              grid(real_imgs, bundle['real_scores']))
+                  if g is not None]
         lower = np.vstack(lowers)
         w = max(upper.shape[1], lower.shape[1])
 

@@ -54,6 +54,30 @@ def test_streaming_trainer_smoke(native_packs, tmp_path):
     assert (ps[:, 2] >= 0).all()
 
 
+def test_streaming_supervised_trainer_smoke(tmp_path):
+    # supervised + stream_data: paired ground truth rides channel-stacked
+    # in the per-call fresh data (steps.py::build_streaming_outer_step)
+    from exposure_tpu.core.trainer import Trainer
+
+    cfg = load_config('supervised_test')
+    cfg.name = 'stream_test/supervised'
+    cfg.max_iter_step = 2
+    cfg.stream_data = True
+
+    trainer = Trainer(cfg, restore=False, model_root=str(tmp_path))
+    assert trainer.streaming and trainer.supervised
+    metrics = trainer.train()
+    if trainer.tee:
+        trainer.tee.close()
+    for pf in getattr(trainer, '_prefetchers', {}).values():
+        pf.stop()
+    assert np.isfinite(np.asarray(metrics.g_loss))
+    assert float(np.asarray(metrics.emd)) == 0.0  # no critic phase
+    assert np.isfinite(np.asarray(trainer.pool.images)).all()
+    # the pool carries aligned ground truth in supervised mode
+    assert trainer.pool.ground_truth is not None
+
+
 def test_prefetcher_overlap_and_errors():
     from exposure_tpu.utils.prefetch import AsyncPrefetcher
     import time

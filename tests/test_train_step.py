@@ -232,7 +232,10 @@ def test_fused_iterations_match_sequential(setup):
                                np.asarray(fpl.images), atol=1e-6)
     np.testing.assert_array_equal(np.asarray(pl.states),
                                   np.asarray(fpl.states))
+    # metrics are stacked per iteration: one fetch covers the whole
+    # chunk's logging cadence
     for v in fmetrics._asdict().values():
+        assert np.asarray(v).shape == (3,)
         assert np.isfinite(np.asarray(v)).all()
 
 
@@ -247,12 +250,18 @@ def test_plan_fused_chunk():
     assert plan_fused_chunk(0, cfg, 10, False) == 1
     assert plan_fused_chunk(5, cfg, 10, False) == 1    # < critic_init
     assert plan_fused_chunk(500, cfg, 10, False) == 1  # burst
-    # plain stretches end on logging boundaries
+    # plain stretches take the full budget (metrics are stacked per
+    # iteration, so chunks may cross 10-iter logging boundaries)
     assert plan_fused_chunk(11, cfg, 10, False) == 10  # [11..20]
     assert plan_fused_chunk(21, cfg, 10, False) == 10
-    assert plan_fused_chunk(15, cfg, 10, False) == 6   # [15..20]
+    assert plan_fused_chunk(15, cfg, 10, False) == 10  # [15..24]
+    assert plan_fused_chunk(11, cfg, 100, False) == 100  # [11..110]
     # stop exactly ON checkpoint iterations ((it+1) % 500 == 0)
     assert plan_fused_chunk(491, cfg, 10, False) == 9  # [491..499]
+    assert plan_fused_chunk(401, cfg, 100, False) == 99  # [401..499]
+    # stop exactly ON visualization iterations (j % wii == 0)
+    assert plan_fused_chunk(395, cfg, 10, False) == 6  # [395..400]
+    assert plan_fused_chunk(301, cfg, 100, False) == 100  # [301..400]
     # never cross a burst
     assert plan_fused_chunk(995, cfg, 10, False) == 5  # [995..999]
     # n_fuse=1 degenerates to the single path
