@@ -62,7 +62,7 @@ def _flag_value(name, default):
 
 
 def build_pipeline(batch, res, mode='grouped', u8=True, run=None,
-                   bf16=False):
+                   bf16=False, fast_math=True):
     from exposure_tpu.core.rollout import rollout
     from exposure_tpu.core.trainer import build_models, init_train_state
     from exposure_tpu.ops.chain import apply_filter_chain
@@ -106,7 +106,7 @@ def build_pipeline(batch, res, mode='grouped', u8=True, run=None,
 
     if mode == 'grouped':
         plan_jit = jax.jit(plan)
-        runner = GroupedChainRunner(filters)
+        runner = GroupedChainRunner(filters, fast_math=fast_math)
 
         def step_fn(gen_params, images, key):
             ids, params, _ = plan_jit(gen_params, images, key)
@@ -114,7 +114,8 @@ def build_pipeline(batch, res, mode='grouped', u8=True, run=None,
     elif mode == 'switch':
         def whole(gen_params, images, key):
             ids, params, _ = plan(gen_params, images, key)
-            return pallas_apply_filter_chain(images, ids, params, filters)
+            return pallas_apply_filter_chain(images, ids, params, filters,
+                                             fast_math=fast_math)
         step_fn = jax.jit(whole)
     else:  # jnp chain
         def whole(gen_params, images, key):
@@ -172,10 +173,14 @@ def main():
     u8 = '--f32' not in sys.argv
     run = _flag_value('--run', None)
     bf16 = '--bf16' in sys.argv
+    # serving-default fast-math kernels (poly-cos + relu curves,
+    # ops/fastmath.py); --exact for the reference-exact kernels
+    fast_math = '--exact' not in sys.argv
     n_chips = len(jax.devices())
 
     step_fn, params, imgs, rng = build_pipeline(batch, res, mode, u8,
-                                                run=run, bf16=bf16)
+                                                run=run, bf16=bf16,
+                                                fast_math=fast_math)
 
     # fixed key: identical trajectories every call (stable signatures for
     # the grouped path; dropout is always on, so the key changes choices)

@@ -48,7 +48,7 @@ from exposure_tpu.ops.pallas_chain import (
 class RetouchPipeline:
 
     def __init__(self, cfg, state, use_pallas=None, interpret=False,
-                 bf16=False, grouped=None):
+                 bf16=False, grouped=None, fast_math=True):
         self.cfg = cfg
         self.filters, self.policy, _, _ = build_models(cfg)
         self.state = state
@@ -57,11 +57,16 @@ class RetouchPipeline:
         self.use_pallas = use_pallas
         self.interpret = interpret
         self.bf16 = bf16
+        # serving default: polynomial pow/cos + Newton rcp in the
+        # kernel (ops/fastmath.py) — error <= ~4e-5, invisible after
+        # u8 quantization; pass fast_math=False for the exact kernels
+        self.fast_math = fast_math
         if grouped is None:
             grouped = use_pallas
         self.grouped = grouped and use_pallas
         self._runner = GroupedChainRunner(self.filters,
-                                          interpret=interpret) \
+                                          interpret=interpret,
+                                          fast_math=fast_math) \
             if self.grouped else None
         self._fns = {}
         self._plan_fns = {}
@@ -130,7 +135,8 @@ class RetouchPipeline:
             if self.use_pallas:
                 return pallas_apply_filter_chain(
                     images, traj.filter_ids, params, self.filters,
-                    mask_params=mask, interpret=self.interpret)
+                    mask_params=mask, interpret=self.interpret,
+                    fast_math=self.fast_math)
             out = apply_filter_chain(proxy_src, traj.filter_ids,
                                      params, self.filters,
                                      mask_params=mask)

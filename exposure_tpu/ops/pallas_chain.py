@@ -27,6 +27,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from exposure_tpu.ops import fastmath as fm
+
 # ---------------------------------------------------------------------------
 # Planar per-filter math: (r, g, b, params_ref_row) -> (r, g, b)
 # Each matches the NHWC implementation in ops/filters.py (which carries the
@@ -127,6 +129,85 @@ def _saturation(r, g, b, p):
     return enhance(r1, v), enhance(g1, vg), enhance(b1, vg)
 
 
+# ---------------------------------------------------------------------------
+# fast-math variants (ops/fastmath.py), chosen by ON-DEVICE measurement
+# (tools/bench_fastmath.py, 256x512^2 u8, slope-timed):
+#   cos:   builtin 26.5 ms vs sin-poly 4.5 ms  -> 5.9x, USED (Contrast)
+#   curve: clip-form 11.8 ms vs relu-form 10.9 -> 8%, USED (Tone/Color;
+#          the relu form is EXACT — same piecewise-linear function)
+#   pow:   builtin 9.5 ms vs poly exp2/log2 11.0 -> builtin wins, NOT used
+#   div:   builtin 2.8 ms vs Newton rcp 4.5     -> builtin wins, NOT used
+# Poly-cos error <= ~1e-6 — invisible after u8 quantization (1 LSB =
+# 1/255) and far inside the 1e-4 f32 verify budget
+# (tests/test_fastmath.py).
+# ---------------------------------------------------------------------------
+
+
+def _saturation_fast(r, g, b, p):
+    """S+ for the fast chain: identical math to ``_saturation`` except
+    the gray special-case threshold is widened from ``rng <= 0`` to a
+    small RELATIVE band.  The HSV hue is DISCONTINUOUS at exact gray;
+    upstream chains that saturate all channels (curve clamp + exposure)
+    manufacture exactly-gray pixels, and the fast branches' ~1e-6
+    differences would otherwise flip those pixels from the hue-0 path
+    onto the ratio path, changing the output by up to s2*v (~25 u8
+    LSB).  Pixels with chroma below 2e-4 are perceptually gray (< 0.05
+    u8 LSB of chroma), so pinning them to the hue-0 path is exact for
+    the manufactured case and harmless otherwise."""
+    r1 = jnp.minimum(r, 1.0)
+    g1 = jnp.minimum(g, 1.0)
+    b1 = jnp.minimum(b, 1.0)
+    v = jnp.maximum(jnp.maximum(r1, g1), b1)
+    mn = jnp.minimum(jnp.minimum(r1, g1), b1)
+    rng = v - mn
+    safe_v = jnp.where(v > 0, v, 1.0)
+    s = jnp.where(v > 0, rng / safe_v, 0.0)
+    s2 = s + (1.0 - s) * (0.5 - jnp.abs(0.5 - v)) * 0.8
+    gray = rng <= 2e-4 * safe_v
+    ratio = s2 * safe_v / jnp.where(gray, 1.0, rng)
+
+    def enhance(c, gray_val):
+        full = jnp.where(gray, gray_val, v - (v - c) * ratio)
+        t = p[0]
+        return c * (1.0 - t) + full * t
+
+    vg = v * (1.0 - s2)
+    return enhance(r1, v), enhance(g1, vg), enhance(b1, vg)
+
+
+def _contrast_fast(r, g, b, p):
+    lum = jnp.clip(0.27 * r + 0.67 * g + 0.06 * b, 0.0, 1.0)
+    clum = fm.fast_half_cos_pi(lum)
+    scale = clum / (lum + 1e-6)
+    t = p[0]
+    return (r + (r * scale - r) * t, g + (g * scale - g) * t,
+            b + (b * scale - b) * t)
+
+
+def _curve_fast_apply(x, p, offset, steps):
+    psum = 1e-30
+    for i in range(steps):
+        psum = psum + p[offset + i]
+    knots = [p[offset + i] for i in range(steps)]
+    return fm.curve_relu(x, knots, steps / psum)
+
+
+def _tone_fast(steps):
+    def fn(r, g, b, p):
+        return (_curve_fast_apply(r, p, 0, steps),
+                _curve_fast_apply(g, p, 0, steps),
+                _curve_fast_apply(b, p, 0, steps))
+    return fn
+
+
+def _color_fast(steps):
+    def fn(r, g, b, p):
+        return (_curve_fast_apply(r, p, 0 * steps, steps),
+                _curve_fast_apply(g, p, 1 * steps, steps),
+                _curve_fast_apply(b, p, 2 * steps, steps))
+    return fn
+
+
 _PLANAR_IMPL = {
     'ExposureFilter': lambda cfg: _exposure,
     'GammaFilter': lambda cfg: _gamma,
@@ -138,6 +219,14 @@ _PLANAR_IMPL = {
     'ColorFilter': lambda cfg: _color(cfg.curve_steps),
     'LevelFilter': lambda cfg: _level,
 }
+
+_PLANAR_IMPL_FAST = dict(_PLANAR_IMPL)
+_PLANAR_IMPL_FAST.update({
+    'SaturationPlusFilter': lambda cfg: _saturation_fast,
+    'ToneFilter': lambda cfg: _tone_fast(cfg.curve_steps),
+    'ContrastFilter': lambda cfg: _contrast_fast,
+    'ColorFilter': lambda cfg: _color_fast(cfg.curve_steps),
+})
 
 
 def _with_mask(fn, mask_offset, cfg):
@@ -179,19 +268,22 @@ def _vignet_masked(cfg, mask_offset):
     return run
 
 
-def planar_branches(filters, mask_offset=None):
+def planar_branches(filters, mask_offset=None, fast_math=False):
     """Branch list for the kernel switch: one per filter + identity last.
 
     Each branch consumes (r, g, b, p, gx, gy) where p packs
     [filter_params (padded) | mask_params] and gx/gy are the spatial grid
     planes (ignored by unmasked branches).  ``mask_offset`` is where the
     mask parameters start in the packed row (required when any filter has
-    masking enabled).
+    masking enabled).  ``fast_math`` swaps the pow/cos/div-heavy
+    branches for the polynomial variants (error <= ~4e-5 — exact after
+    u8 quantization).
     """
+    impl = _PLANAR_IMPL_FAST if fast_math else _PLANAR_IMPL
     branches = []
     for f in filters:
         name = type(f).__name__
-        if name not in _PLANAR_IMPL and name != 'VignetFilter':
+        if name not in impl and name != 'VignetFilter':
             raise NotImplementedError(
                 'pallas chain does not support %s; use the jnp chain'
                 % name)
@@ -201,14 +293,14 @@ def planar_branches(filters, mask_offset=None):
             if name == 'VignetFilter':
                 branches.append(_vignet_masked(f.cfg, mask_offset))
             else:
-                base = _PLANAR_IMPL[name](f.cfg)
+                base = impl[name](f.cfg)
                 branches.append(_with_mask(base, mask_offset, f.cfg))
         else:
             if name == 'VignetFilter':
                 raise NotImplementedError(
                     'VignetFilter without masking zeroes the image '
                     '(dormant); use the jnp chain')
-            base = _PLANAR_IMPL[name](f.cfg)
+            base = impl[name](f.cfg)
             branches.append(
                 lambda r, g, b, p, gx, gy, fn=base: fn(r, g, b, p))
     branches.append(lambda r, g, b, p, gx, gy: (r, g, b))  # identity
@@ -337,7 +429,7 @@ def _static_chain_kernel(params_ref, img_ref, out_ref, *, branch_seq,
 def pallas_apply_filter_chain_static(img, signature, packed_params,
                                      filters, mask_params=None,
                                      tile=(256, 256), batch_chunk=8,
-                                     interpret=False):
+                                     interpret=False, fast_math=False):
     """Fused chain replay for ONE static trajectory signature.
 
     Args:
@@ -351,7 +443,8 @@ def pallas_apply_filter_chain_static(img, signature, packed_params,
     masking = any(f.use_masking() for f in filters)
     max_p = packed_params.shape[-1]
     branches = planar_branches(
-        filters, mask_offset=max_p if masking else None)
+        filters, mask_offset=max_p if masking else None,
+        fast_math=fast_math)
     branch_seq = tuple(branches[int(s)] for s in signature)
 
     params = jnp.transpose(packed_params, (1, 0, 2))
@@ -414,12 +507,13 @@ class GroupedChainRunner:
     """
 
     def __init__(self, filters, interpret=False, max_signatures=16,
-                 tile=(256, 256), batch_chunk=8):
+                 tile=(256, 256), batch_chunk=8, fast_math=False):
         self.filters = filters
         self.interpret = interpret
         self.max_signatures = max_signatures
         self.tile = tile
         self.batch_chunk = batch_chunk
+        self.fast_math = fast_math
         self._fns = {}
 
     def _single_fn(self, sig, size, res_shape, dtype, masked):
@@ -431,14 +525,16 @@ class GroupedChainRunner:
                                  im, s, p, self.filters, mask_params=m,
                                  tile=self.tile,
                                  batch_chunk=self.batch_chunk,
-                                 interpret=self.interpret))
+                                 interpret=self.interpret,
+                                 fast_math=self.fast_math))
             else:
                 fn = jax.jit(lambda im, p, s=sig:
                              pallas_apply_filter_chain_static(
                                  im, s, p, self.filters,
                                  tile=self.tile,
                                  batch_chunk=self.batch_chunk,
-                                 interpret=self.interpret))
+                                 interpret=self.interpret,
+                                 fast_math=self.fast_math))
             self._fns[key] = fn
         return self._fns[key]
 
@@ -467,7 +563,8 @@ class GroupedChainRunner:
                         sub_img, sig, sub_p, self.filters,
                         mask_params=sub_m, tile=self.tile,
                         batch_chunk=self.batch_chunk,
-                        interpret=self.interpret)
+                        interpret=self.interpret,
+                        fast_math=self.fast_math)
                     # padded index slots repeat the group's first image,
                     # so their results are valid duplicates — scattering
                     # them is a redundant but correct write
@@ -504,7 +601,8 @@ class GroupedChainRunner:
                         active_steps=a,
                         mask_params=m if masking else None,
                         tile=self.tile, batch_chunk=self.batch_chunk,
-                        interpret=self.interpret),
+                        interpret=self.interpret,
+                        fast_math=self.fast_math),
                     static_argnames=())
             k_, b_ = ids.shape
             mask_arg = mask_params if masking else \
@@ -577,7 +675,8 @@ def pallas_apply_filter_chain(img, filter_ids, packed_params, filters,
                               active_steps=None, mask_params=None,
                               tile=(256, 256), batch_chunk=8,
                               interpret=False,
-                              compute_dtype=jnp.float32):
+                              compute_dtype=jnp.float32,
+                              fast_math=False):
     """Fused chain replay.
 
     Args:
@@ -606,7 +705,8 @@ def pallas_apply_filter_chain(img, filter_ids, packed_params, filters,
     masking = any(f.use_masking() for f in filters)
     max_p = packed_params.shape[-1]
     branches = planar_branches(
-        filters, mask_offset=max_p if masking else None)
+        filters, mask_offset=max_p if masking else None,
+        fast_math=fast_math)
     identity_id = len(branches) - 1
 
     ids = jnp.transpose(filter_ids, (1, 0)).astype(jnp.int32)  # [B, K]

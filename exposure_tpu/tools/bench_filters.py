@@ -48,6 +48,9 @@ def main():
     parser.add_argument('--f32', action='store_true')
     parser.add_argument('--interpret', action='store_true')
     parser.add_argument('--cpu', action='store_true')
+    parser.add_argument('--fast', action='store_true',
+                        help='serving-default fast-math kernels '
+                             '(poly-cos + relu curves)')
     args = parser.parse_args()
     if args.cpu:
         jax.config.update('jax_platforms', 'cpu')
@@ -74,7 +77,8 @@ def main():
         params = jnp.asarray(params)
         sig = (fid,) * k
         fn = jax.jit(lambda im, p, s=sig: pallas_apply_filter_chain_static(
-            im, s, p, filters, interpret=args.interpret))
+            im, s, p, filters, interpret=args.interpret,
+            fast_math=args.fast))
         dt = slope_time(fn, img, params)
         ips = b / dt
         results[f.get_short_name()] = round(ips, 1)
@@ -87,7 +91,7 @@ def main():
         'shape': [b, res, res],
         'steps': k,
         'dtype': 'f32' if args.f32 else 'u8',
-        'kernel': 'static_switchless',
+        'kernel': 'static_switchless' + ('_fast' if args.fast else ''),
         'timing': 'serialized_slope',
         'per_filter': results,
         'sum_all_branches_ms': round(total_ms, 1),

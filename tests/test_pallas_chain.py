@@ -89,6 +89,90 @@ def test_uint8_serving_path(rng, cfg, filters):
     assert diff.max() <= 1, diff.max()
 
 
+def test_fast_math_matches_jnp_chain(rng, cfg, filters):
+    # polynomial pow/cos + Newton rcp + relu-form curves: f32 within
+    # the 1e-4 budget, u8 within 1 LSB of the exact jnp chain
+    img = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32) * 0.9)
+    ids, params = random_trajectory(rng, filters, cfg.test_steps, 2)
+    expected = apply_filter_chain(img, ids, params, filters)
+    got = pallas_apply_filter_chain(img, ids, params, filters,
+                                    tile=(32, 128), interpret=True,
+                                    fast_math=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               atol=1e-4, rtol=1e-3)
+
+    img8 = (rng.rand(1, 64, 128, 3) * 255).astype(np.uint8)
+    ids, params = random_trajectory(rng, filters, 3, 1)
+    got8 = pallas_apply_filter_chain(jnp.asarray(img8), ids, params,
+                                     filters, tile=(32, 128),
+                                     interpret=True, fast_math=True)
+    f32 = jnp.asarray(img8.astype(np.float32) / 255.0)
+    exp8 = np.round(np.clip(np.asarray(
+        apply_filter_chain(f32, ids, params, filters)), 0, 1) * 255.0)
+    diff = np.abs(np.asarray(got8).astype(np.int32) - exp8.astype(np.int32))
+    assert diff.max() <= 1, diff.max()
+
+
+def test_fast_math_static_kernel(rng, cfg, filters):
+    from exposure_tpu.ops.pallas_chain import \
+        pallas_apply_filter_chain_static
+    img = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32) * 0.9)
+    k = 4
+    sig = tuple(rng.randint(0, len(filters), k))
+    ids = jnp.asarray(np.tile(np.asarray(sig, np.int32)[:, None], (1, 2)))
+    _, params = random_trajectory(rng, filters, k, 2)
+    # overwrite ids-dependent params with the signature's filters
+    params = np.zeros(np.asarray(params).shape, np.float32)
+    for s_i, fid in enumerate(sig):
+        f = filters[fid]
+        n = f.get_num_filter_parameters()
+        raw = rng.randn(2, n).astype(np.float32)
+        reg = np.asarray(f.filter_param_regressor(jnp.asarray(raw)))
+        params[s_i, :, :n] = reg
+    params = jnp.asarray(params)
+    expected = apply_filter_chain(img, ids, params, filters)
+    got = pallas_apply_filter_chain_static(img, sig, params, filters,
+                                           tile=(32, 128), interpret=True,
+                                           fast_math=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               atol=1e-4, rtol=1e-3)
+
+
+def test_fast_math_manufactured_gray_pixels(rng, cfg, filters):
+    # The S+ (HSV) filter is discontinuous at exact gray.  A chain that
+    # overexposes and then saturates the per-channel color curve maps
+    # whole regions to EXACTLY gray; the fast kernels' ~1e-6 upstream
+    # differences must not flip those pixels across the discontinuity
+    # (ops/pallas_chain.py::_saturation_fast pins a 2e-4 gray band).
+    names = [type(f).__name__ for f in filters]
+    e_id = names.index('ExposureFilter')
+    c_id = names.index('ColorFilter')
+    s_id = names.index('SaturationPlusFilter')
+    b = 1
+    img = jnp.asarray(rng.rand(b, 64, 128, 3).astype(np.float32) * 0.9)
+    ids = jnp.asarray(np.array([[e_id], [c_id], [e_id], [s_id]],
+                               np.int32))
+    max_p = max_filter_parameters(filters)
+    params = np.zeros((4, b, max_p), np.float32)
+    params[0, :, 0] = 2.0 ** 3.0          # massive overexposure
+    params[1, :, :24] = np.asarray(filters[c_id].filter_param_regressor(
+        jnp.asarray(rng.randn(b, 24).astype(np.float32))))
+    params[2, :, 0] = 0.6                  # back into range -> midtones
+    params[3, :, 0] = 0.9                  # strong saturation boost
+    params = jnp.asarray(params)
+    expected = apply_filter_chain(img, ids, params, filters)
+    exp8 = np.round(np.clip(np.asarray(expected), 0, 1) * 255.0)
+    got = pallas_apply_filter_chain(img, ids, params, filters,
+                                    tile=(32, 128), interpret=True,
+                                    fast_math=True)
+    got8 = np.round(np.clip(np.asarray(got), 0, 1) * 255.0)
+    diff = np.abs(got8 - exp8)
+    # overexposed regions collapse to exact gray; fast and exact paths
+    # must agree there (hue-0 special case), leaving at most a
+    # negligible fraction of band-edge pixels
+    assert (diff > 1).mean() <= 1e-4, (diff.max(), (diff > 1).sum())
+
+
 def test_masked_chain_matches_jnp(rng, cfg):
     # with cfg.masking on, the kernel evaluates the spatial masks from
     # the global pixel grid; must match the jnp chain
