@@ -66,7 +66,14 @@ def restore_checkpoint(directory, template_state, step=None):
         try:
             with open(path, 'rb') as f:
                 data = f.read()
-            return serialization.from_bytes(template_state, data), s
+            restored = serialization.from_bytes(template_state, data)
+            # COMMIT the restored tree to device: from_bytes yields host
+            # numpy leaves, and a jitted function re-uploads numpy args
+            # on EVERY call — through the remote tunnel (~5 MB/s) that
+            # made every serving/eval dispatch pay seconds of parameter
+            # transfer (measured: restored-policy rollout 4 s/call vs
+            # 106 ms with device-resident params).
+            return jax.device_put(restored), s
         except (ValueError, OSError) as e:
             last_err = e
             print('# checkpoint %s unreadable (%s), trying older' %

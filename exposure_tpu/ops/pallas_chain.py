@@ -629,7 +629,7 @@ class GroupedChainRunner:
         packed = []
         for sig, idxs in items:
             n = len(idxs)
-            size = max(8, 1 << (n - 1).bit_length())
+            size = _bucket_size(n)
             packed.extend(idxs + [idxs[0]] * (size - n))
             sig_sizes.append((sig, size))
         fn = self._multi_fn(tuple(sig_sizes), img.shape[1:3], img.dtype,
@@ -642,6 +642,20 @@ class GroupedChainRunner:
 
 def _round_up(x, m):
     return (x + m - 1) // m * m
+
+
+def _bucket_size(n):
+    """Group-size bucket: the next value in {8, 12, 16, 24, 32, 48, ...}
+    (powers of two and their 1.5x midpoints).  Pure pow2 buckets padded
+    a measured trained mix to 1.7x its real size (each padded slot
+    replays a duplicate image); 1.5x-granularity caps over-padding at
+    1.33x while keeping the set of distinct kernel shapes — and thus
+    compile variants on a slow-compile toolchain — small."""
+    if n <= 8:
+        return 8
+    p = 1 << (n - 1).bit_length()        # next pow2 >= n
+    mid = p // 2 + p // 4                # 1.5 * previous pow2
+    return mid if n <= mid else p
 
 
 def _chain_call(planar, ids, params, branches, tile, interpret,
