@@ -61,20 +61,32 @@ def main():
     jax.block_until_ready(metrics)
     compile_s = time.time() - t_c
 
-    # per-call timing with a median: the remote-TPU tunnel shows rare
-    # multi-second stalls unrelated to the program; the median reflects
-    # the device's steady-state iteration time.
-    times = []
-    for i in range(iters):
+    # SLOPE timing over dependency-CHAINED calls (state feeds the next
+    # call), completion forced by fetching a metric scalar: per-call
+    # ``block_until_ready`` can acknowledge before execution completes
+    # on the remote tunnel, which under-reported the iteration time
+    # ~6x in early round 2 (1.55 ms "per-call median" vs ~10 ms
+    # honest).
+    def run(n, state, pool):
         t0 = time.time()
-        state, pool, metrics = step(state, pool, fake, real,
-                                    jax.random.fold_in(key, i),
-                                    jnp.float32(1e-5), jnp.float32(5e-5),
-                                    jnp.float32(i / 20000))
-        jax.block_until_ready(metrics)
-        times.append(1000 * (time.time() - t0))
-    ms_per_iter = float(np.median(times))
+        for i in range(n):
+            state, pool, metrics = step(
+                state, pool, fake, real, jax.random.fold_in(key, i),
+                np.float32(1e-5), np.float32(5e-5),
+                np.float32(i / 20000))
+        float(np.asarray(metrics.g_loss))  # force completion
+        return time.time() - t0, state, pool
+
+    _, state, pool = run(2, state, pool)
+    n_small, n_big = max(iters // 6, 2), iters
+    t_s = min(run(n_small, state, pool)[0] for _ in range(2))
+    t_b = min(run(n_big, state, pool)[0] for _ in range(2))
+    ms_per_iter = 1000 * max(t_b - t_s, 1e-9) / (n_big - n_small)
     projected_min = ms_per_iter * 20001 / 1000 / 60
+    state, pool, metrics = step(state, pool, fake, real, key,
+                                np.float32(1e-5), np.float32(5e-5),
+                                np.float32(0.5))
+    jax.block_until_ready(metrics)
 
     print(json.dumps({
         'metric': 'train_outer_iter_ms',
