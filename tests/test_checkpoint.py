@@ -55,3 +55,16 @@ def test_no_tmp_left_behind(tmp_path):
 def test_missing_dir_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         restore_checkpoint(str(tmp_path / 'nope'), make_state(0))
+
+
+def test_restore_returns_device_committed_arrays(tmp_path):
+    # from_bytes yields host numpy; if restore returned that, EVERY
+    # jitted call would re-upload the params (through the remote
+    # tunnel this taxed serving 6.6x before being caught on-device) —
+    # the restored tree must be jax Arrays committed to a device
+    import jax
+    d = str(tmp_path)
+    save_checkpoint(d, make_state(3), 1)
+    restored, _ = restore_checkpoint(d, make_state(0))
+    for leaf in jax.tree_util.tree_leaves(restored):
+        assert isinstance(leaf, jax.Array), type(leaf)
