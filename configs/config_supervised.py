@@ -9,7 +9,7 @@ from exposure_tpu.utils.config import load_config
 
 cfg = load_config('example')
 
-cfg.iters_per_dispatch = 10
+# inherit example's 100-iteration fused dispatch + pipelined bookkeeping
 cfg.supervised = True
 cfg.critic_burst = 0
 cfg.max_iter_step = 5000
