@@ -414,8 +414,15 @@ class Trainer:
                         else self._stream_bundle(0, c_n)
                 else:
                     data = (self.fake_images, self.real_images)
-                key = pk[sub] if pk is not None and sub < 2 \
-                    else jax.random.fold_in(it_key, sub)
+                if pk is not None and sub < 2:
+                    key = pk[sub]
+                else:
+                    # fall back to the eager pair — correct even if a
+                    # phase ever runs >2 sub-dispatches (precomputed keys
+                    # cover subs 0/1 only; it_key is None when pk exists)
+                    key = jax.random.fold_in(
+                        it_key if it_key is not None
+                        else jax.random.fold_in(base_key, it), sub)
                 return step(self.state, self.pool, *data, key,
                             np.float32(lr_g_), np.float32(lr_c),
                             np.float32(progress))
@@ -581,10 +588,28 @@ class Trainer:
                 self._ckpt_requested = it_end + 1
                 self._ckpt_future = self._bg_run(
                     'ckpt', self._save_ckpt_job, state, it_end + 1)
+            else:
+                print('# checkpoint boundary %d coalesced (save in '
+                      'flight; newest boundary guaranteed at drain)'
+                      % (it_end + 1))
 
         wii = cfg.get('write_image_interval', 0)
         if wii and any(j % wii == 0 for j in range(it0, it_end + 1)):
-            self._bg_run('viz', self._viz_job, it_end, state, pool)
+            # provider batches are fetched HERE (main thread): providers
+            # mutate unsynchronized state (epoch indices, global RNG) and
+            # in streaming mode the prefetcher threads call them too —
+            # only the device work belongs on the background lane
+            raw, real_imgs = self._viz_batches()
+            self._bg_run('viz', self._viz_job, it_end, state, pool,
+                         raw, real_imgs)
+
+    def _viz_batches(self):
+        n = min(self.cfg.num_samples, 16)
+        raw, _ = self.fake_provider.get_next_batch(n)
+        if self.supervised:
+            raw = raw[:, 0]
+        real_imgs, _ = self.real_provider.get_next_batch(n)
+        return raw, real_imgs
 
     def _save_ckpt_job(self, state, step):
         # coalesce: when the worker falls behind, only the NEWEST
@@ -592,14 +617,21 @@ class Trainer:
         # ones anyway); each save fetches ~100 MB through the tunnel,
         # so writing a stale backlog serially would stall the drain
         if getattr(self, '_ckpt_requested', step) > step:
+            print('# checkpoint %d skipped (newer boundary %d requested)'
+                  % (step, self._ckpt_requested))
             return
-        path = save_checkpoint(self.dir, state, step)
+        # keep=2: metrics can stay finite for the iteration whose UPDATE
+        # diverges, so the newest boundary save may hold non-finite
+        # params before the (pipelined) NaN guard raises — keeping the
+        # previous boundary guarantees a known-good restore point
+        path = save_checkpoint(self.dir, state, step, keep=2)
         self._ckpt_saved_step = step
         print('# checkpoint saved:', path)
 
-    def _viz_job(self, it, state, pool):
+    def _viz_job(self, it, state, pool, raw=None, real_imgs=None):
         try:
-            self.visualize(it, state=state, pool=pool)
+            self.visualize(it, state=state, pool=pool, raw=raw,
+                           real_imgs=real_imgs)
         except Exception as e:  # viz must never kill training
             print('# visualization failed:', e)
 
@@ -722,7 +754,8 @@ class Trainer:
             self._viz_fn = jax.jit(fn)
         return self._viz_fn
 
-    def visualize(self, it, state=None, pool=None):
+    def visualize(self, it, state=None, pool=None, raw=None,
+                  real_imgs=None):
         """Write the periodic visualization grid (reference
         net.py:420-552): rollout trajectories with per-step
         decision/operation panels on top; pool / generated / real sample
@@ -741,11 +774,9 @@ class Trainer:
         if pool is None:
             pool = self.pool
         n = min(cfg.num_samples, 16)
-        raw, _ = self.fake_provider.get_next_batch(n)
-        if self.supervised:
-            raw = raw[:, 0]
+        if raw is None or real_imgs is None:
+            raw, real_imgs = self._viz_batches()
         pool_imgs_dev = pool.images[:n]
-        real_imgs, _ = self.real_provider.get_next_batch(n)
         # ALL device work for the grid happens in ONE jitted call with
         # ONE device->host fetch (each separate fetch through the remote
         # tunnel costs 25-900 ms; the old 10-roundtrip version dominated

@@ -118,10 +118,23 @@ def run_case(name, rng, filters, shape, steps, dtype='f32', masked=False,
         # bounded span (~s2*v).  The fast kernels pin a 2e-4 relative
         # gray band (ops/pallas_chain.py::_saturation_fast) so the
         # manufactured case is consistent; pixels genuinely AT the
-        # band edge remain set-valued.  Fast cases therefore pass when
-        # the outlier fraction is <= 1e-4 and outliers stay inside the
-        # discontinuity span.
-        ok = bool(outlier_frac <= 1e-4) and bool(diff <= outlier_span)
+        # band edge remain set-valued.  The exemption is ATTRIBUTED:
+        # only images whose trajectory contains S+ may have set-valued
+        # pixels (outlier fraction <= 1e-4, bounded by the
+        # discontinuity span); every other image is held to the normal
+        # tolerance, so an unrelated fast-kernel regression cannot
+        # hide behind the S+ allowance.
+        sat_ids = [i for i, f in enumerate(filters)
+                   if type(f).__name__ == 'SaturationPlusFilter']
+        ids_np = np.asarray(ids)  # [K, B]
+        has_sat = np.isin(ids_np, sat_ids).any(axis=0)  # [B]
+        plain = diffs[~has_sat]
+        satd = diffs[has_sat]
+        plain_ok = plain.size == 0 or bool(plain.max() <= tol)
+        sat_ok = satd.size == 0 or (
+            bool((satd > tol).mean() <= 1e-4) and
+            bool(satd.max() <= outlier_span))
+        ok = plain_ok and sat_ok
     else:
         ok = bool(diff <= tol)
     ok = ok and bool(np.isfinite(got.astype(np.float64)).all())
@@ -174,6 +187,15 @@ def verify(interpret=False, seed=0):
          False, True),
         ('fast_grouped_u8', filters, (4, 512, 512), 5, 'u8', False,
          False, True, True),
+        # masking x fast-math x u8 x grouped combinations (the gray-band
+        # S+ subtlety interacts with mask blending; hold masked images
+        # to the same attributed criterion)
+        ('fast_masked', mfilters, (2, 64, 128), 3, 'f32', True, False,
+         False, True),
+        ('grouped_masked_u8', mfilters, (2, 128, 256), 3, 'u8', True,
+         False, True, False),
+        ('fast_grouped_masked_u8', mfilters, (2, 128, 256), 3, 'u8',
+         True, False, True, True),
     ]
     results = []
     for case in cases:
