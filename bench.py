@@ -142,6 +142,75 @@ def build_pipeline(batch, res, mode='grouped', u8=True, run=None,
     return step_fn, state.gen_params, imgs, rng
 
 
+def bench_stream(batch, res, u8=True, run=None, bf16=False,
+                 fast_math=True, depth=8):
+    """Deep-pipelined grouped serving over a stream of batches
+    (core/serving.py map_batches): plans run 2*depth batches ahead,
+    ids come back in one stacked fetch per depth batches, replays are
+    consumed ON DEVICE (the bench fetches one tiny slice of the last
+    output — TPU streams execute in order, so that forces the whole
+    stream).  Returns (images/sec, n_kernel_variants).
+
+    Warmup runs the SAME key sequence as the timed runs, so every
+    signature-set kernel variant is compiled before timing — the
+    number is steady-state serving throughput, not compile
+    amortization (variant count is reported for honesty)."""
+    import os
+    from exposure_tpu.core.checkpoint import restore_checkpoint
+    from exposure_tpu.core.serving import RetouchPipeline
+    from exposure_tpu.core.trainer import build_models, init_train_state
+    from exposure_tpu.utils.config import load_config
+
+    if run:
+        cfg = load_config(run.split('/', 1)[0])
+        cfg.name = run
+    else:
+        cfg = load_config('example')
+    filters, policy, critic, value = build_models(cfg)
+    state, _ = init_train_state(cfg, policy, critic, value, seed=0)
+    if run:
+        state, step = restore_checkpoint(os.path.join('models', run),
+                                         state)
+        print('# bench: restored %s at step %d' % (run, step),
+              file=sys.stderr)
+    pipe = RetouchPipeline(cfg, state, bf16=bf16, fast_math=fast_math,
+                           grouped=True, fused_set_limit=0)
+
+    rng = jax.random.PRNGKey(0)
+    if run:
+        prov = cfg.fake_data_provider_test()
+        base, _ = prov.get_next_batch(batch)
+        imgs = jnp.asarray(np.clip(base, 0.0, 1.0))
+        imgs = jax.image.resize(imgs, (batch, res, res, 3),
+                                method='linear')
+    else:
+        imgs = jax.random.uniform(rng, (batch, res, res, 3),
+                                  jnp.float32) * 0.8
+    if u8:
+        imgs = (imgs * 255).astype(jnp.uint8)
+
+    def run_n(n, seed=0):
+        last = None
+        for out in pipe.map_batches((imgs for _ in range(n)), seed=seed,
+                                    depth=depth, device_out=True):
+            last = out
+        np.asarray(last[0, :2, :2, 0])
+
+    n_small, n_big, rounds = 10, 40, 2
+    run_n(n_big + 2 * depth)  # warmup: compiles every timed variant
+
+    def span(n):
+        t0 = time.time()
+        run_n(n)
+        return time.time() - t0
+
+    t_s = min(span(n_small) for _ in range(rounds))
+    t_b = min(span(n_big) for _ in range(rounds))
+    dt = max((t_b - t_s) / (n_big - n_small), 1e-9)
+    n_variants = len(pipe._runner._fns)
+    return batch / dt, n_variants
+
+
 def slope_time(fn, n_small=10, n_big=40, rounds=2):
     """Honest per-call seconds: (T(n_big) - T(n_small)) / (n_big - n_small)
     with a tiny fetch forcing completion; min over rounds."""
@@ -164,6 +233,8 @@ def main():
     res = 512
     if '--no-pallas' in sys.argv:
         mode = 'jnp'
+    elif '--stream' in sys.argv:
+        mode = 'stream'
     elif '--grouped' in sys.argv:
         mode = 'grouped'
     else:
@@ -178,15 +249,23 @@ def main():
     fast_math = '--exact' not in sys.argv
     n_chips = len(jax.devices())
 
-    step_fn, params, imgs, rng = build_pipeline(batch, res, mode, u8,
-                                                run=run, bf16=bf16,
-                                                fast_math=fast_math)
+    if mode == 'stream':
+        depth = int(_flag_value('--depth', 8))
+        img_per_sec, n_variants = bench_stream(
+            batch, res, u8=u8, run=run, bf16=bf16, fast_math=fast_math,
+            depth=depth)
+        print('# stream: depth=%d kernel_variants=%d'
+              % (depth, n_variants), file=sys.stderr)
+    else:
+        step_fn, params, imgs, rng = build_pipeline(batch, res, mode, u8,
+                                                    run=run, bf16=bf16,
+                                                    fast_math=fast_math)
 
-    # fixed key: identical trajectories every call (stable signatures for
-    # the grouped path; dropout is always on, so the key changes choices)
-    dt = slope_time(lambda: step_fn(params, imgs, rng))
-
-    img_per_sec = batch / dt
+        # fixed key: identical trajectories every call (stable signatures
+        # for the grouped path; dropout is always on, so the key changes
+        # choices)
+        dt = slope_time(lambda: step_fn(params, imgs, rng))
+        img_per_sec = batch / dt
     target = 1250.0 * n_chips
     tags = ('' if not u8 else '_u8io') + ('_bf16' if bf16 else '') + \
         ('_trained' if run else '') + \

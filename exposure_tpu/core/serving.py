@@ -48,7 +48,8 @@ from exposure_tpu.ops.pallas_chain import (
 class RetouchPipeline:
 
     def __init__(self, cfg, state, use_pallas=None, interpret=False,
-                 bf16=False, grouped=None, fast_math=True):
+                 bf16=False, grouped=None, fast_math=True,
+                 fused_set_limit=None):
         self.cfg = cfg
         self.filters, self.policy, _, _ = build_models(cfg)
         self.state = state
@@ -64,9 +65,19 @@ class RetouchPipeline:
         if grouped is None:
             grouped = use_pallas
         self.grouped = grouped and use_pallas
+        # fused_set_limit: how many distinct SIGNATURE SETS get the
+        # one-dispatch fused program before falling back to per-group
+        # cached programs (ops/pallas_chain.py GroupedChainRunner).
+        # Fixed-mix callers (one repeated batch) want the default; a
+        # stream of dropout-varied batches wants 0 — every new set would
+        # otherwise be a fresh multi-minute remote compile.
+        runner_kw = {}
+        if fused_set_limit is not None:
+            runner_kw['fused_set_limit'] = fused_set_limit
         self._runner = GroupedChainRunner(self.filters,
                                           interpret=interpret,
-                                          fast_math=fast_math) \
+                                          fast_math=fast_math,
+                                          **runner_kw) \
             if self.grouped else None
         self._fns = {}
         self._plan_fns = {}
@@ -153,10 +164,11 @@ class RetouchPipeline:
             self._plan_fns[sig] = self._plan(images.shape, images.dtype)
         return self._plan_fns[sig](self.state.gen_params, images, key)
 
-    def _replay(self, images, ids, params, mask):
+    def _replay(self, images, ids, params, mask, device_out=False):
         masking = bool(self.cfg.masking)
-        return np.asarray(self._runner(
-            images, ids, params, mask_params=mask if masking else None))
+        out = self._runner(images, ids, params,
+                           mask_params=mask if masking else None)
+        return out if device_out else np.asarray(out)
 
     def __call__(self, images, seed=0):
         """Retouch a [B, H, W, 3] batch (uint8 or float32 linear)."""
@@ -171,12 +183,23 @@ class RetouchPipeline:
         return np.asarray(self._fns[sig](self.state.gen_params, images,
                                          key))
 
-    def map_batches(self, batches, seed=0):
-        """Retouch a STREAM of equally-shaped batches, software-pipelined:
-        batch i+1's policy plan is dispatched to the device before batch
-        i's replay is resolved, so the plan's device work and the
-        grouped path's ids host-readback overlap replay execution.
-        Yields numpy results in order.
+    def map_batches(self, batches, seed=0, depth=8, device_out=False):
+        """Retouch a STREAM of equally-shaped batches, deep-pipelined.
+
+        The grouped replay path needs the planned filter ids ON THE HOST
+        (to pick the per-signature kernels), which costs one device->
+        host round trip — erratic and expensive on remote-accelerator
+        topologies.  This pipeline amortizes it: policy plans run up to
+        ``2*depth`` batches ahead of replay, and the ids of ``depth``
+        plans are read back in ONE stacked fetch, issued while the next
+        ``depth`` batches' plan work (and earlier replays) still occupy
+        the device queue.  Per-batch host cost drops to 1/depth of a
+        round trip plus two async dispatches.
+
+        Adds up to ``2*depth`` batches of latency — a throughput
+        pipeline, not a low-latency one.  Yields results in order;
+        ``device_out=True`` yields device arrays (the caller controls
+        when/what to fetch — benchmarks fetch a tiny slice).
 
         >>> for out in pipe.map_batches(batch_iter()): ...
         """
@@ -184,13 +207,41 @@ class RetouchPipeline:
             for i, imgs in enumerate(batches):
                 yield self(imgs, seed=seed + i)
             return
+        import collections
         base = jax.random.PRNGKey(seed)
-        prev = None
-        for i, imgs in enumerate(batches):
-            imgs = jnp.asarray(imgs)
-            plan = self._plan_for(imgs, jax.random.fold_in(base, i))
-            if prev is not None:
-                yield self._replay(*prev)
-            prev = (imgs,) + tuple(plan)
-        if prev is not None:
-            yield self._replay(*prev)
+        it = iter(batches)
+        planned = collections.deque()  # (imgs, ids_dev, params, mask)
+        ready = collections.deque()    # (imgs, ids_np, params, mask)
+        if not hasattr(self, '_stack_fns'):
+            self._stack_fns = {}
+        i = 0
+        exhausted = False
+
+        def flush(k):
+            # ONE stacked tiny fetch for k plans' ids
+            if k not in self._stack_fns:
+                self._stack_fns[k] = jax.jit(
+                    lambda *xs: jnp.stack(xs))
+            ids_np = np.asarray(
+                self._stack_fns[k](*[p[1] for p in list(planned)[:k]]))
+            for j in range(k):
+                imgs, _, params, mask = planned.popleft()
+                ready.append((imgs, ids_np[j], params, mask))
+
+        while True:
+            while not exhausted and len(planned) < 2 * depth:
+                try:
+                    imgs = jnp.asarray(next(it))
+                except StopIteration:
+                    exhausted = True
+                    break
+                plan = self._plan_for(imgs, jax.random.fold_in(base, i))
+                planned.append((imgs,) + tuple(plan))
+                i += 1
+            if not ready:
+                if not planned:
+                    return
+                flush(min(depth, len(planned)))
+            while ready:
+                yield self._replay(*ready.popleft(),
+                                   device_out=device_out)

@@ -265,15 +265,28 @@ class Trainer:
                            (cfg.source_img_size, cfg.source_img_size,
                             (2 * c if self.supervised else c)),
                            np.float32)
-        for i in range(giters):
-            batch = self.fake_provider.get_next_batch(chunk)[0]
-            if self.supervised:
-                # paired provider yields [n, 2, S, S, C]
-                g_fresh[i, ..., :c] = batch[:, 0]
-                g_fresh[i, ..., c:] = batch[:, 1]
-            else:
-                g_fresh[i] = batch
-        if citers > 0:
+        if (not self.supervised
+                and hasattr(self.fake_provider, 'sample_into')):
+            # native zero-restack path: ONE hostloader call fills the
+            # whole [giters*chunk, S, S, C] bundle in its final layout
+            self.fake_provider.sample_into(
+                g_fresh.reshape((giters * chunk,) + g_fresh.shape[2:]))
+        else:
+            for i in range(giters):
+                batch = self.fake_provider.get_next_batch(chunk)[0]
+                if self.supervised:
+                    # paired provider yields [n, 2, S, S, C]
+                    g_fresh[i, ..., :c] = batch[:, 0]
+                    g_fresh[i, ..., c:] = batch[:, 1]
+                else:
+                    g_fresh[i] = batch
+        if citers > 0 and hasattr(self.real_provider, 'sample_into'):
+            real = np.empty((citers * b, cfg.source_img_size,
+                             cfg.source_img_size, cfg.real_img_channels),
+                            np.float32)
+            self.real_provider.sample_into(real)
+            real = real.reshape((citers, b) + real.shape[1:])
+        elif citers > 0:
             real = np.stack([self.real_provider.get_next_batch(b)[0]
                              for _ in range(citers)])
         else:
@@ -291,7 +304,8 @@ class Trainer:
         key = (giters, citers)
         if key not in self._prefetchers:
             self._prefetchers[key] = AsyncPrefetcher(
-                self._assemble_stream, args=key)
+                self._assemble_stream, args=key,
+                slots=int(self.cfg.get('prefetch_slots', 2)))
         return self._prefetchers[key].get_next()
 
     def train(self):

@@ -35,5 +35,17 @@ class NativePackProvider:
             batch = batch * self.image_scaling
         return batch, np.zeros((batch_size,), np.float32)
 
+    def sample_into(self, dest):
+        """Fill a C-contiguous [n, S, S, C] float32 view in ONE native
+        call (streaming bundle assembly: no Python batch loop, no
+        restack copy).  Advances the same seed stream as
+        ``get_next_batch``."""
+        self._seed = np.uint64(self._seed + 0x9e3779b9)
+        self.pack.sample_into(dest, augment=self.augmentation > 0,
+                              seed=int(self._seed))
+        if self.image_scaling != 1.0:
+            dest *= self.image_scaling
+        return dest
+
     def close(self):
         self.pack.close()

@@ -68,12 +68,28 @@ class NativePack:
         """Draw a [batch, out, out, C] float32 crop batch."""
         n, h, w, c = self.shape
         out = np.empty((batch_size, out_size, out_size, c), np.float32)
+        self.sample_into(out, augment=augment, seed=seed)
+        return out
+
+    def sample_into(self, out, augment=True, seed=0):
+        """Fill a caller-owned C-contiguous [batch, S, S, C] float32
+        buffer in ONE native call — the zero-restack path streaming
+        training uses to assemble a whole multi-iteration bundle
+        directly into its final layout (no per-iteration Python loop,
+        no intermediate copy)."""
+        if (out.ndim != 4 or out.dtype != np.float32
+                or not out.flags.c_contiguous
+                or out.shape[1] != out.shape[2]
+                or out.shape[3] != self.shape[3]):
+            raise ValueError('need C-contiguous [n, S, S, %d] float32, '
+                             'got %s %s' % (self.shape[3], out.shape,
+                                            out.dtype))
         rc = self._lib.hl_sample_crops(
-            self._handle, batch_size, out_size, int(bool(augment)),
+            self._handle, out.shape[0], out.shape[1], int(bool(augment)),
             np.uint64(seed) or 1, out)
         if rc != 0:
             raise ValueError('hl_sample_crops failed (%d); out_size %d vs '
-                             'pack %s' % (rc, out_size, self.shape))
+                             'pack %s' % (rc, out.shape[1], self.shape))
         return out
 
     def close(self):

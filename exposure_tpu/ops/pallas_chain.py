@@ -379,8 +379,9 @@ def _chain_kernel(ids_ref, params_ref, img_ref, out_ref, *, branches,
     out_ref[0, 2] = b
 
 
-def _static_chain_kernel(params_ref, img_ref, out_ref, *, branch_seq,
-                         max_p, grid_dims, tile):
+def _static_chain_kernel(n_ref, params_ref, img_ref, out_ref, *,
+                         branch_seq, max_p, grid_dims, tile,
+                         chunk_offset=0):
     """Switchless chain: the per-step branch sequence is STATIC (Python
     level), so only the selected filters' math is in the program.
 
@@ -390,9 +391,17 @@ def _static_chain_kernel(params_ref, img_ref, out_ref, *, branch_seq,
     the ids) — but the ids are known before replay, and trained policies
     reuse a handful of distinct trajectory signatures, so grouping by
     signature and compiling one static kernel per signature recovers the
-    selected-branch-only cost."""
+    selected-branch-only cost.
+
+    ``n_ref`` (SMEM scalar) is the DYNAMIC count of real images in this
+    call's batch: grid steps with global batch index >= n_ref[0] skip
+    all compute (their output blocks are garbage and the caller drops
+    them at scatter time).  Group sizes are padded to bucketed shapes so
+    compiled variants stay few, but the padded slots cost only their
+    block DMA — not 5 steps of filter math."""
     bi = pl.program_id(0)
-    quantized = img_ref.dtype == jnp.uint8
+    # program_id reads stay OUTSIDE the pl.when body (inside they end up
+    # in a lax.cond branch, which interpret mode cannot lower on CPU)
     if grid_dims is not None:
         h, w = grid_dims
         th, tw = tile
@@ -407,29 +416,36 @@ def _static_chain_kernel(params_ref, img_ref, out_ref, *, branch_seq,
         gy = (cols + (shorter - w) / 2.0) / shorter - 0.5
     else:
         gx = gy = jnp.zeros((1, 1), jnp.float32)
-    if quantized:
-        def dq(x):
-            return x.astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
-        r, g, b = dq(img_ref[0, 0]), dq(img_ref[0, 1]), dq(img_ref[0, 2])
-    else:
-        r, g, b = img_ref[0, 0], img_ref[0, 1], img_ref[0, 2]
-    for k, branch_fn in enumerate(branch_seq):
-        p = [params_ref[bi, k, j] for j in range(max_p)]
-        r, g, b = branch_fn(r, g, b, p, gx, gy)
-    if quantized:
-        def q(x):
-            return jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0).astype(
-                jnp.int32).astype(jnp.uint8)
-        r, g, b = q(r), q(g), q(b)
-    out_ref[0, 0] = r
-    out_ref[0, 1] = g
-    out_ref[0, 2] = b
+
+    @pl.when(bi + chunk_offset < n_ref[0])
+    def _body():
+        quantized = img_ref.dtype == jnp.uint8
+        if quantized:
+            def dq(x):
+                return x.astype(jnp.int32).astype(jnp.float32) * \
+                    (1.0 / 255.0)
+            r, g, b = dq(img_ref[0, 0]), dq(img_ref[0, 1]), \
+                dq(img_ref[0, 2])
+        else:
+            r, g, b = img_ref[0, 0], img_ref[0, 1], img_ref[0, 2]
+        for k, branch_fn in enumerate(branch_seq):
+            p = [params_ref[bi, k, j] for j in range(max_p)]
+            r, g, b = branch_fn(r, g, b, p, gx, gy)
+        if quantized:
+            def q(x):
+                return jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0).astype(
+                    jnp.int32).astype(jnp.uint8)
+            r, g, b = q(r), q(g), q(b)
+        out_ref[0, 0] = r
+        out_ref[0, 1] = g
+        out_ref[0, 2] = b
 
 
 def pallas_apply_filter_chain_static(img, signature, packed_params,
                                      filters, mask_params=None,
                                      tile=(256, 256), batch_chunk=8,
-                                     interpret=False, fast_math=False):
+                                     interpret=False, fast_math=False,
+                                     n_active=None):
     """Fused chain replay for ONE static trajectory signature.
 
     Args:
@@ -438,6 +454,9 @@ def pallas_apply_filter_chain_static(img, signature, packed_params,
         identity / inactive step) — shared by ALL images in the batch.
       packed_params: [K, B, max_p] float32.
       mask_params: optional [K, B, max_mask] (masking configs).
+      n_active: optional DYNAMIC int32 scalar — only the first
+        ``n_active`` images get computed (grouped-path bucket padding;
+        outputs beyond it are garbage the caller must drop).
     Returns: [B, H, W, 3] same dtype as img.
     """
     masking = any(f.use_masking() for f in filters)
@@ -464,6 +483,10 @@ def pallas_apply_filter_chain_static(img, signature, packed_params,
     planar = jnp.pad(planar, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
     grid_dims = (h, w) if masking else None
     max_pp = params.shape[-1]
+    if n_active is None:
+        n_arr = jnp.asarray([b], jnp.int32)
+    else:
+        n_arr = jnp.asarray(n_active, jnp.int32).reshape(1)
 
     outs = []
     for s in range(0, b, batch_chunk):
@@ -471,11 +494,12 @@ def pallas_apply_filter_chain_static(img, signature, packed_params,
         chunk = planar[s:e]
         kernel = functools.partial(
             _static_chain_kernel, branch_seq=branch_seq, max_p=max_pp,
-            grid_dims=grid_dims, tile=(th, tw))
+            grid_dims=grid_dims, tile=(th, tw), chunk_offset=s)
         outs.append(pl.pallas_call(
             kernel,
             grid=(e - s, hp // th, wp // tw),
             in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 3, th, tw),
                              lambda bi, i, j: (bi, 0, i, j),
@@ -486,7 +510,7 @@ def pallas_apply_filter_chain_static(img, signature, packed_params,
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(chunk.shape, chunk.dtype),
             interpret=interpret,
-        )(params[s:e], chunk))
+        )(n_arr, params[s:e], chunk))
     out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     out = out[:, :, :h, :w]
     return jnp.transpose(out, (0, 2, 3, 1))
@@ -507,14 +531,28 @@ class GroupedChainRunner:
     """
 
     def __init__(self, filters, interpret=False, max_signatures=16,
-                 tile=(256, 256), batch_chunk=8, fast_math=False):
+                 tile=(256, 256), batch_chunk=8, fast_math=False,
+                 fused_set_limit=4, merge_below=8):
         self.filters = filters
         self.interpret = interpret
         self.max_signatures = max_signatures
         self.tile = tile
         self.batch_chunk = batch_chunk
         self.fast_math = fast_math
+        # signature SETS vary per batch under dropout, and every new set
+        # is a fresh fused-program compile (minutes on remote backends).
+        # After ``fused_set_limit`` distinct sets, switch to per-group
+        # accumulate programs cached by (signature, bucket) — those are
+        # REUSED across sets, so compiles converge while dispatch count
+        # rises from 1 to #groups (all async, hidden by pipelining).
+        self.fused_set_limit = fused_set_limit
+        # groups smaller than this merge into ONE switch-kernel call:
+        # sub-bucket padding waste and per-tiny-group dispatches both go
+        # away; the switch kernel's every-branch cost only applies to the
+        # few remainder images.
+        self.merge_below = merge_below
         self._fns = {}
+        self._n_multi = 0
 
     def _single_fn(self, sig, size, res_shape, dtype, masked):
         key = ('single', sig, size, res_shape, jnp.dtype(dtype).name)
@@ -541,7 +579,15 @@ class GroupedChainRunner:
     def _multi_fn(self, sig_sizes, res_shape, dtype, masked):
         """ONE jitted function doing every group's gather -> static chain
         -> scatter — a single dispatch per batch (dozens of eager ops per
-        call would each pay host-dispatch latency)."""
+        call would each pay host-dispatch latency).
+
+        Group sizes are BUCKETED (static shapes keep this function's jit
+        cache small), but the per-group REAL count arrives as a dynamic
+        ``n_arr`` argument: the static kernels skip all compute for
+        padded slots (pl.when on the batch index) and their garbage
+        outputs are dropped at scatter time (out-of-range index +
+        mode='drop'), so padding costs block DMA only — not filter
+        math."""
         key = ('multi', sig_sizes, res_shape, jnp.dtype(dtype).name)
         if key not in self._fns:
             # group indices arrive as ONE packed array (single host->
@@ -552,10 +598,13 @@ class GroupedChainRunner:
                 offsets.append((o, o + size))
                 o += size
 
-            def fn(img, params, mask, packed_idx):
+            def fn(img, params, mask, packed_idx, n_arr):
                 out = jnp.zeros(img.shape, img.dtype)
-                for (sig, _), (s, e) in zip(sig_sizes, offsets):
+                nb = img.shape[0]
+                for gi, ((sig, size), (s, e)) in enumerate(
+                        zip(sig_sizes, offsets)):
                     ix = packed_idx[s:e]
+                    n_g = n_arr[gi]
                     sub_img = jnp.take(img, ix, axis=0)
                     sub_p = jnp.take(params, ix, axis=1)
                     sub_m = jnp.take(mask, ix, axis=1) if masked else None
@@ -564,14 +613,72 @@ class GroupedChainRunner:
                         mask_params=sub_m, tile=self.tile,
                         batch_chunk=self.batch_chunk,
                         interpret=self.interpret,
-                        fast_math=self.fast_math)
-                    # padded index slots repeat the group's first image,
-                    # so their results are valid duplicates — scattering
-                    # them is a redundant but correct write
-                    out = out.at[ix].set(res)
+                        fast_math=self.fast_math,
+                        n_active=n_g)
+                    # padded slots were skipped in-kernel (garbage rows):
+                    # route them out of range and drop at scatter
+                    drop_ix = jnp.where(jnp.arange(size) < n_g, ix, nb)
+                    out = out.at[drop_ix].set(res, mode='drop')
                 return out
 
             self._fns[key] = jax.jit(fn)
+        return self._fns[key]
+
+    def _zeros_fn(self, shape, dtype):
+        key = ('zeros', shape, jnp.dtype(dtype).name)
+        if key not in self._fns:
+            self._fns[key] = jax.jit(
+                lambda: jnp.zeros(shape, dtype))
+        return self._fns[key]
+
+    def _acc_fn(self, sig, size, res_shape, dtype, masked):
+        """Per-group gather -> static chain -> scatter-accumulate into a
+        DONATED output buffer.  Cached by (signature, bucketed size) —
+        reused across whatever signature SETS batches produce, unlike
+        ``_multi_fn`` whose cache key is the whole set."""
+        key = ('acc', sig, size, res_shape, jnp.dtype(dtype).name,
+               masked)
+        if key not in self._fns:
+            def fn(out, img, params, mask, ix, n_g):
+                sub_img = jnp.take(img, ix, axis=0)
+                sub_p = jnp.take(params, ix, axis=1)
+                sub_m = jnp.take(mask, ix, axis=1) if masked else None
+                res = pallas_apply_filter_chain_static(
+                    sub_img, sig, sub_p, self.filters,
+                    mask_params=sub_m, tile=self.tile,
+                    batch_chunk=self.batch_chunk,
+                    interpret=self.interpret,
+                    fast_math=self.fast_math, n_active=n_g)
+                drop_ix = jnp.where(jnp.arange(size) < n_g, ix,
+                                    out.shape[0])
+                return out.at[drop_ix].set(res, mode='drop')
+
+            self._fns[key] = jax.jit(fn, donate_argnums=(0,))
+        return self._fns[key]
+
+    def _merge_fn(self, size, k, res_shape, dtype, masked):
+        """Sub-``merge_below`` groups merged through ONE switch-kernel
+        call (every-branch cost, but only on the few remainder images):
+        kills their per-group padding waste and dispatches, and its cache
+        key is shape-only — no signature in it at all."""
+        key = ('mergerem', size, k, res_shape, jnp.dtype(dtype).name,
+               masked)
+        if key not in self._fns:
+            def fn(out, img, params, mask, ix, sub_ids, n_g):
+                sub_img = jnp.take(img, ix, axis=0)
+                sub_p = jnp.take(params, ix, axis=1)
+                sub_m = jnp.take(mask, ix, axis=1) if masked else None
+                res = pallas_apply_filter_chain(
+                    sub_img, sub_ids, sub_p, self.filters,
+                    mask_params=sub_m, tile=self.tile,
+                    batch_chunk=self.batch_chunk,
+                    interpret=self.interpret,
+                    fast_math=self.fast_math)
+                drop_ix = jnp.where(jnp.arange(size) < n_g, ix,
+                                    out.shape[0])
+                return out.at[drop_ix].set(res, mode='drop')
+
+            self._fns[key] = jax.jit(fn, donate_argnums=(0,))
         return self._fns[key]
 
     def __call__(self, img, filter_ids, packed_params, filters=None,
@@ -622,22 +729,66 @@ class GroupedChainRunner:
                 else fn(img, packed_params)
 
         # deterministic group order; pad group indices to bucketed sizes
-        # (the pad repeats the group's first index — see _multi_fn) and
-        # pack every group into ONE upload
+        # (the pad repeats the group's first index so gathers stay in
+        # range; the kernels SKIP padded slots — see _multi_fn)
         items = sorted(sigs.items())
-        sig_sizes = []
-        packed = []
-        for sig, idxs in items:
-            n = len(idxs)
-            size = _bucket_size(n)
-            packed.extend(idxs + [idxs[0]] * (size - n))
-            sig_sizes.append((sig, size))
-        fn = self._multi_fn(tuple(sig_sizes), img.shape[1:3], img.dtype,
-                            masking)
+        res_shape = img.shape[1:3]
         mask_arg = mask_params if masking else \
             jnp.zeros((k, b, 1), jnp.float32)
-        return fn(img, packed_params, mask_arg,
-                  jnp.asarray(np.asarray(packed, np.int32)))
+
+        fused_key = ('multi',
+                     tuple((sig, _bucket_size(len(ix)))
+                           for sig, ix in items),
+                     res_shape, jnp.dtype(img.dtype).name)
+        if fused_key in self._fns or \
+                self._n_multi < self.fused_set_limit:
+            # fused path: every group in ONE dispatch, compiled per
+            # signature SET (first few sets only — see __init__)
+            if fused_key not in self._fns:
+                self._n_multi += 1
+            sig_sizes = []
+            packed = []
+            n_real = []
+            for sig, idxs in items:
+                n = len(idxs)
+                size = _bucket_size(n)
+                packed.extend(idxs + [idxs[0]] * (size - n))
+                sig_sizes.append((sig, size))
+                n_real.append(n)
+            fn = self._multi_fn(tuple(sig_sizes), res_shape, img.dtype,
+                                masking)
+            return fn(img, packed_params, mask_arg,
+                      jnp.asarray(np.asarray(packed, np.int32)),
+                      np.asarray(n_real, np.int32))
+
+        # per-group accumulate path: programs cached by (sig, bucket)
+        # survive set churn; small groups merge through one switch call
+        big = [(sig, idxs) for sig, idxs in items
+               if len(idxs) >= self.merge_below]
+        small = [(sig, idxs) for sig, idxs in items
+                 if len(idxs) < self.merge_below]
+        if len(small) == 1:  # a lone small group: its own kernel is
+            big.append(small[0])  # cheaper than the every-branch switch
+            small = []
+        out = self._zeros_fn(img.shape, img.dtype)()
+        for sig, idxs in big:
+            n = len(idxs)
+            size = _bucket_size(n)
+            ix = np.asarray(idxs + [idxs[0]] * (size - n), np.int32)
+            fn = self._acc_fn(sig, size, res_shape, img.dtype, masking)
+            out = fn(out, img, packed_params, mask_arg,
+                     jnp.asarray(ix), np.int32(n))
+        if small:
+            idxs = [i for _, ix_l in small for i in ix_l]
+            n = len(idxs)
+            size = _bucket_size(n)
+            pad = idxs + [idxs[0]] * (size - n)
+            ix = np.asarray(pad, np.int32)
+            sub_ids = ids[:, ix].astype(np.int32)  # [K, size] host-side
+            fn = self._merge_fn(size, k, res_shape, img.dtype, masking)
+            out = fn(out, img, packed_params, mask_arg, jnp.asarray(ix),
+                     jnp.asarray(sub_ids), np.int32(n))
+        return out
 
 
 def _round_up(x, m):

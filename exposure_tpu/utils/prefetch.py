@@ -1,10 +1,13 @@
-"""Single-slot asynchronous producer.
+"""Asynchronous producer with a bounded ready queue.
 
 Clean re-design of the reference ``AsyncTaskManager`` (util.py:596-645):
-one daemon thread keeps exactly one result ready; ``get_next()`` hands it
-over and wakes the producer.  Used by the streaming training mode to
+daemon thread(s) keep up to ``slots`` results ready; ``get_next()`` hands
+one over and wakes the producer.  Used by the streaming training mode to
 overlap host-side batch assembly (native hostloader sampling) with device
-execution."""
+execution.  ``slots > 1`` absorbs bursty consumers (fused multi-iteration
+dispatches drain a bundle per chunk); more than one ``workers`` thread
+only helps on multi-core hosts AND with stateless targets — the streaming
+assembly target mutates provider RNG state, so it stays single-worker."""
 
 import queue
 import threading
@@ -12,11 +15,11 @@ import threading
 
 class AsyncPrefetcher:
 
-    def __init__(self, target, args=(), kwargs=None):
+    def __init__(self, target, args=(), kwargs=None, slots=1):
         self._target = target
         self._args = args
         self._kwargs = kwargs or {}
-        self._queue = queue.Queue(maxsize=1)
+        self._queue = queue.Queue(maxsize=max(int(slots), 1))
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()

@@ -134,3 +134,55 @@ def test_flagship_config_provider_lambdas(fivek_tree, built_pack,
         assert t.shape == (4, 64, 64, 3)
     finally:
         FiveKDataProvider._raw_image_pack = None
+
+
+def test_import_validator(fivek_tree, built_pack):
+    """validate_pack flags size mismatches vs the real-pack spec but
+    correctly checks structure/dtype/range on a dropped tree; a
+    spec-shaped pack passes clean (the one-command import contract,
+    tools/import_reference_data.py)."""
+    from exposure_tpu.tools.import_reference_data import (
+        PACK_REL, validate_pack)
+    ok, findings = validate_pack(str(fivek_tree))
+    # miniature tree: pack/fold/artist SIZES differ from the real spec,
+    # structural checks pass (everything present, readable, sane dtype)
+    assert not ok
+    assert all('MISSING' not in f and 'unreadable' not in f
+               and 'non-finite' not in f for f in findings), findings
+
+    # a spec-shaped pack + folds + artist set passes clean (the pack is
+    # a SPARSE memmap — only the validator's strided sample pages are
+    # materialized, so the test does not write 1.5 GB)
+    import numpy as np
+    root = fivek_tree / 'spec_root'
+    pack_path = root / PACK_REL
+    pack_path.parent.mkdir(parents=True, exist_ok=True)
+    arr = np.lib.format.open_memmap(
+        str(pack_path), mode='w+', dtype=np.float32,
+        shape=(20000, 80, 80, 3))
+    stride = max(arr.shape[0] // 64, 1)  # the validator's sample stride
+    arr[::stride] = 0.25
+    arr.flush()
+    del arr
+    folds = root / 'data' / 'folds'
+    folds.mkdir(parents=True, exist_ok=True)
+    for fn, n in (('FiveK_train_first2k.txt', 2000),
+                  ('FiveK_train_second2k.txt', 2000),
+                  ('FiveK_test.txt', 1000),
+                  ('FiveK_test_AMT.txt', 100)):
+        (folds / fn).write_text(
+            ''.join('%d\n' % i for i in range(1, n + 1)))
+    artists = root / 'data' / 'artists' / 'FiveK_C'
+    artists.mkdir(parents=True, exist_ok=True)
+    for i in range(4000):
+        (artists / ('a%04d.jpg' % i)).write_bytes(b'\xff\xd8\xff\xd9')
+    ok2, findings2 = validate_pack(str(root))
+    assert ok2, findings2
+
+    # corrupt the pack -> flagged
+    arr = np.lib.format.open_memmap(str(pack_path), mode='r+')
+    arr[0, 0, 0, 0] = np.nan
+    arr.flush()
+    del arr
+    ok3, findings3 = validate_pack(str(root))
+    assert not ok3 and any('non-finite' in f for f in findings3)

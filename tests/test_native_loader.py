@@ -135,3 +135,36 @@ def test_rejects_wrong_dtype(tmp_path):
     np.save(bad, np.zeros((2, 8, 8, 3), np.float64))
     with pytest.raises(IOError):
         NativePack(bad)
+
+
+def test_sample_into_matches_sample(pack_file):
+    """The zero-restack bundle path (one native call into a caller view)
+    is bit-identical to sample() at the same seed, validates layout, and
+    the provider wrapper applies scaling in place."""
+    from exposure_tpu.data.native_provider import NativePackProvider
+    from exposure_tpu.native import NativePack
+    path, _ = pack_file
+    np_pack = NativePack(path)
+    ref = np_pack.sample(12, 64, augment=True, seed=99)
+    bundle = np.empty((3, 4, 64, 64, 3), np.float32)
+    np_pack.sample_into(bundle.reshape(12, 64, 64, 3), augment=True,
+                        seed=99)
+    np.testing.assert_array_equal(bundle.reshape(12, 64, 64, 3), ref)
+
+    with pytest.raises(ValueError):
+        np_pack.sample_into(np.empty((4, 64, 64, 3), np.float64))
+    with pytest.raises(ValueError):  # non-contiguous view
+        np_pack.sample_into(
+            np.empty((4, 64, 128, 3), np.float32)[:, :, ::2])
+    np_pack.close()
+
+    dp = NativePackProvider(path, output_size=64, augmentation=0.3,
+                            image_scaling=2.0, seed=5)
+    dp2 = NativePackProvider(path, output_size=64, augmentation=0.3,
+                             image_scaling=2.0, seed=5)
+    dest = np.empty((8, 64, 64, 3), np.float32)
+    dp.sample_into(dest)
+    batch, _ = dp2.get_next_batch(8)
+    np.testing.assert_array_equal(dest, batch)
+    dp.close()
+    dp2.close()

@@ -315,3 +315,65 @@ def test_grouped_runner_masked(rng, cfg):
     got = runner(img, ids, params, mask_params=mask)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                atol=5e-5, rtol=1e-4)
+
+
+def test_grouped_runner_per_group_accumulate(rng, cfg, filters):
+    """fused_set_limit=0 forces the per-(signature,bucket) accumulate
+    path (cached programs survive signature-set churn); small groups
+    merge through one switch call.  Must match the jnp-equivalent switch
+    chain exactly, across two batches with different signature sets."""
+    from exposure_tpu.ops.pallas_chain import GroupedChainRunner
+    runner = GroupedChainRunner(filters, interpret=True,
+                                fused_set_limit=0, merge_below=4)
+    for seed in (3, 4):
+        r2 = np.random.RandomState(seed)
+        b = 10
+        img = jnp.asarray(r2.rand(b, 64, 128, 3).astype(np.float32) * .9)
+        ids, params = random_trajectory(r2, filters, 4, b)
+        # skew grouping: most images share one signature, a few are
+        # unique (exercises big-group + merged-remainder together)
+        ids = np.array(ids)
+        ids[:, : b - 3] = ids[:, :1]
+        params = np.array(params)
+        params[:, : b - 3] = params[:, :1]
+        ids, params = jnp.asarray(ids), jnp.asarray(params)
+        expected = pallas_apply_filter_chain(img, ids, params, filters,
+                                             tile=(32, 128),
+                                             interpret=True)
+        got = runner(img, ids, params)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                                   atol=1e-6)
+    # programs were cached per (sig, bucket): across the two sets the
+    # runner compiled zero fused multi-variants
+    assert not any(k2[0] == 'multi' for k2 in runner._fns)
+    assert any(k2[0] == 'acc' for k2 in runner._fns)
+    assert any(k2[0] == 'mergerem' for k2 in runner._fns)
+
+
+def test_grouped_runner_fused_set_limit_switchover(rng, cfg, filters):
+    """The first ``fused_set_limit`` distinct signature sets compile the
+    one-dispatch fused program; later NEW sets use per-group programs,
+    while an already-compiled fused set keeps hitting its cache."""
+    from exposure_tpu.ops.pallas_chain import GroupedChainRunner
+    runner = GroupedChainRunner(filters, interpret=True,
+                                fused_set_limit=1, merge_below=2)
+    b = 6
+    r2 = np.random.RandomState(7)
+    img = jnp.asarray(r2.rand(b, 64, 128, 3).astype(np.float32) * .9)
+    ids1, params1 = random_trajectory(r2, filters, 3, b)
+    out1 = runner(img, ids1, params1)
+    n_multi = sum(1 for k2 in runner._fns if k2[0] == 'multi')
+    assert n_multi == 1
+    # different signature set -> per-group path, no new fused variant
+    ids2, params2 = random_trajectory(np.random.RandomState(8), filters,
+                                      3, b)
+    out2 = runner(img, ids2, params2)
+    assert sum(1 for k2 in runner._fns if k2[0] == 'multi') == 1
+    exp1 = pallas_apply_filter_chain(img, ids1, params1, filters,
+                                     tile=(32, 128), interpret=True)
+    exp2 = pallas_apply_filter_chain(img, ids2, params2, filters,
+                                     tile=(32, 128), interpret=True)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(exp1),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(exp2),
+                               atol=1e-6)
