@@ -857,13 +857,16 @@ def pallas_apply_filter_chain(img, filter_ids, packed_params, filters,
         the per-image trajectory scalars.
       interpret: run in interpreter mode (CPU testing).
       compute_dtype: in-kernel pixel math precision.  f32 (default)
-        matches the jnp chain bit-near; jnp.bfloat16 would pack the VPU
-        2x at ~0.4% relative error, but the current Mosaic toolchain
-        does not legalize scalar bf16 arithmetic (arith.addf bf16), so
-        the bf16 mode is EXPERIMENTAL: verified in interpreter mode
-        (tests/test_pallas_chain.py::test_bf16_compute_mode), fails to
-        compile on-device today.  Measured serving is currently
-        dispatch/bandwidth-dominated anyway (tools/bench_truth.py).
+        matches the jnp chain bit-near.  jnp.bfloat16 is MEASURED
+        library-only (tools/bench_bf16_probe.py, on-device round 3):
+        bf16 vectors with f32 scalar params compile but run SLOWER than
+        f32 (curve 2.39 vs 1.64 ms, cos 1.12 vs 0.50 — conversion
+        traffic eats the 2x VPU packing), and full bf16-cast chains
+        MISCOMPILE (remote tpu_compile_helper exit 1 on the curve
+        accumulation).  Verified numerically in interpreter mode
+        (tests/test_pallas_chain.py::test_bf16_compute_mode); serving's
+        ``bf16=True`` therefore means the POLICY PLAN only
+        (core/serving.py), a measured 1.5x plan-program win.
 
     Returns: [B, H, W, 3] float32.
     """

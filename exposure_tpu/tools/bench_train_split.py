@@ -135,6 +135,51 @@ def main():
     results['decomposition_surplus_ms'] = round(
         results['g_phase_ms'] + results['c_phase_ms']
         - results['outer_ms'], 3)
+
+    # ---- fused-chunk slope: the DEVICE-ONLY per-iteration cost -------
+    # Single-iteration programs above are dominated by per-dispatch
+    # tunnel overhead (several erratic ms — the numbers can even
+    # invert).  Timing ONE dispatch of an n-iteration fused program at
+    # two sizes and taking (T(n2)-T(n1))/(n2-n1) cancels dispatch cost
+    # exactly and leaves pure device compute per iteration.
+    from exposure_tpu.core.steps import build_fused_iterations_step
+    n1, n2 = 10, 40
+    for name, (g, c) in (('fused_outer_ms', (gi, ci)),
+                         ('fused_g_ms', (gi, 0)),
+                         ('fused_c_ms', (0, ci))):
+        per_n = {}
+        for n in (n1, n2):
+            fstep = build_fused_iterations_step(
+                cfg, trainer.policy, trainer.critic, trainer.value,
+                trainer.filters, trainer.tx, trainer.mesh, fake_meta,
+                real_meta, g, c, n)
+            idx = jnp.arange(n, dtype=jnp.int32)
+            lrs = jnp.full((n,), 1e-5, jnp.float32)
+            progs = jnp.full((n,), 0.5, jnp.float32)
+
+            def call(st, pl, k, _s=fstep, _i=idx, _l=lrs, _p=progs):
+                return _s(st, pl, fake, real, k, _i, _l, _l, _p)
+
+            jax.block_until_ready(call(state, pool, key))
+
+            def span(reps):
+                st, pl = state, pool
+                t0 = time.time()
+                m = None
+                for i in range(reps):
+                    st, pl, m = call(st, pl, jax.random.fold_in(key, i))
+                np.asarray(jax.tree_util.tree_leaves(m)[0]).ravel()[:1]
+                return time.time() - t0
+
+            span(3)
+            per_n[n] = min(span(6) for _ in range(2)) / 6
+        ms = (per_n[n2] - per_n[n1]) / (n2 - n1) * 1000
+        results[name] = round(ms, 3)
+        print('%-16s %8.3f ms/iter (device-only, fused-chunk slope)'
+              % (name, ms), flush=True)
+    results['fused_surplus_ms'] = round(
+        results['fused_g_ms'] + results['fused_c_ms']
+        - results['fused_outer_ms'], 3)
     print(json.dumps(results))
     if args.out:
         with open(args.out, 'w') as f:
