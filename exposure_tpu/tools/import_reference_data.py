@@ -19,6 +19,7 @@ Usage: python -m exposure_tpu.tools.import_reference_data \
 """
 
 import argparse
+import hashlib
 import os
 import shutil
 
@@ -38,13 +39,43 @@ FOLDS = {
     'data/folds/FiveK_test.txt': 1000,
     'data/folds/FiveK_test_AMT.txt': 100,
 }
+# SHA-256 of the canonical fold files shipped with the reference
+# dataset release (data/folds/*.txt).  A fold with the right line count
+# but a different digest is a DIFFERENT experimental split — results on
+# it are not comparable to the paper, so strict validation (the CLI
+# default) fails on mismatch.
+FOLD_SHA256 = {
+    'data/folds/FiveK_train_first2k.txt':
+        '1b745f582a267611acbba652c14f7fc5a778fec5dcb152d50eddcec4ba8a2234',
+    'data/folds/FiveK_train_second2k.txt':
+        'bc17755a354397acf47cb91fcd6535d4fa0b32c59533be4da376d7fe1a7935af',
+    'data/folds/FiveK_test.txt':
+        'c1b0ea133b46cdca94c3a71239c875c311fcf619ce45b62a243b70fe31bf0d8b',
+    'data/folds/FiveK_test_AMT.txt':
+        'a264fced5c9be509f6b58f24806dafc90b8d2ba77dc651d511ece80e86f81ca7',
+}
+
+
+def _sha256_file(path, chunk=1 << 20):
+    h = hashlib.sha256()
+    with open(path, 'rb') as f:
+        while True:
+            block = f.read(chunk)
+            if not block:
+                break
+            h.update(block)
+    return h.hexdigest()
 ARTIST_DIR = 'data/artists/FiveK_C'  # expert-C JPEGs (FiveK_C.zip),
                                      # config_example.py real provider
 ARTIST_MIN_IMAGES = 4000        # nominally 5000
 
 
-def validate_pack(data_root='.'):
-    """Check the dropped artifacts; returns (ok, list of findings)."""
+def validate_pack(data_root='.', strict_folds=True):
+    """Check the dropped artifacts; returns (ok, list of findings).
+
+    ``strict_folds`` additionally requires each fold file to match the
+    canonical release byte-for-byte (SHA-256) — the guarantee that a
+    quality number measured on this drop is on the PAPER's split."""
     import numpy as np
     findings = []
 
@@ -85,6 +116,14 @@ def validate_pack(data_root='.'):
         if len(lines) != n:
             findings.append('%s has %d ids, expected %d'
                             % (rel, len(lines), n))
+        elif strict_folds and rel in FOLD_SHA256:
+            digest = _sha256_file(p)
+            if digest != FOLD_SHA256[rel]:
+                findings.append(
+                    '%s sha256 %s... != canonical %s... — a different '
+                    'split; results are not paper-comparable '
+                    '(--no-strict-folds to accept)'
+                    % (rel, digest[:16], FOLD_SHA256[rel][:16]))
 
     adir = os.path.join(data_root, ARTIST_DIR)
     if not os.path.isdir(adir):
@@ -125,6 +164,10 @@ def main():
                         help='copy instead of symlink')
     parser.add_argument('--validate-only', action='store_true',
                         help='only validate what is already dropped')
+    parser.add_argument('--no-strict-folds', action='store_true',
+                        help='accept fold files whose content differs '
+                             'from the canonical release (line counts '
+                             'still checked)')
     args = parser.parse_args()
     if not args.validate_only:
         if not args.reference_root:
@@ -133,7 +176,8 @@ def main():
                                args.copy)
         print('imported:',
               imported or 'nothing (all present or source empty)')
-    ok, findings = validate_pack(args.data_root)
+    ok, findings = validate_pack(args.data_root,
+                                 strict_folds=not args.no_strict_folds)
     for f in findings:
         print('VALIDATE:', f)
     if ok:

@@ -176,13 +176,31 @@ def test_import_validator(fivek_tree, built_pack):
     artists.mkdir(parents=True, exist_ok=True)
     for i in range(4000):
         (artists / ('a%04d.jpg' % i)).write_bytes(b'\xff\xd8\xff\xd9')
-    ok2, findings2 = validate_pack(str(root))
+    # strict (default): synthetic folds have the right line counts but
+    # NOT the canonical release checksums -> every fold flagged
+    ok2s, findings2s = validate_pack(str(root))
+    assert not ok2s
+    assert sum('sha256' in f for f in findings2s) == 4, findings2s
+    # non-strict accepts them (line counts still enforced)
+    ok2, findings2 = validate_pack(str(root), strict_folds=False)
     assert ok2, findings2
+
+    # a fold whose digest MATCHES the canonical table passes strict:
+    # point the table at the synthetic file's own digest
+    from exposure_tpu.tools import import_reference_data as ird
+    rel = 'data/folds/FiveK_test_AMT.txt'
+    saved = ird.FOLD_SHA256[rel]
+    try:
+        ird.FOLD_SHA256[rel] = ird._sha256_file(str(root / rel))
+        _, findings_m = validate_pack(str(root))
+        assert not any(rel in f and 'sha256' in f for f in findings_m)
+    finally:
+        ird.FOLD_SHA256[rel] = saved
 
     # corrupt the pack -> flagged
     arr = np.lib.format.open_memmap(str(pack_path), mode='r+')
     arr[0, 0, 0, 0] = np.nan
     arr.flush()
     del arr
-    ok3, findings3 = validate_pack(str(root))
+    ok3, findings3 = validate_pack(str(root), strict_folds=False)
     assert not ok3 and any('non-finite' in f for f in findings3)
