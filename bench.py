@@ -6,17 +6,19 @@ reference does per image in net.py:796-821 but batched and fused):
   1. downsample 512x512 -> 64x64 proxies (on device),
   2. 5-step policy rollout on the proxies (one lax.scan),
   3. replay the recorded chains on the 512x512 originals through the
-     fused Pallas kernel.  Default: the single-jit lax.switch kernel —
-     fully device-side, no host syncs, so its timing is stable through
-     the remote-TPU tunnel.  ``--grouped`` uses the signature-grouped
-     SWITCHLESS kernels instead (ops/pallas_chain.py GroupedChainRunner)
-     — 3x faster ON DEVICE (only the selected filters' math executes;
-     15 vs 45 ms per 256x512^2 trained-mix batch by serialized slope
-     timing), but it reads the planned ids on the host between rollout
-     and replay, and on this testbed that host round trip's latency is
-     large and erratic (tunnel pool reclaims), so it is not the default
-     *benchmark* mode; it IS the default serving mode (core/serving.py)
-     because TPU-local deployments pay microseconds for that fetch.
+     fused Pallas kernel.
+
+  Default (round 3): when a trained checkpoint exists
+  (synthetic/final-r2 or --run), the deep-pipelined STREAM serving
+  path with a bf16 policy plan — RetouchPipeline.map_batches runs
+  plans 2*depth batches ahead, reads ids back in ONE stacked fetch per
+  depth batches, and replays through the signature-grouped switchless
+  kernels (the production serving mode, core/serving.py).  Other
+  modes: ``--switch`` = the single-jit lax.switch kernel (fully
+  device-side, no host syncs — the stable-through-the-tunnel
+  comparison mode), ``--grouped`` = per-batch synchronous grouped
+  replay (3x faster on device than switch, but pays a per-batch host
+  ids fetch).
 
 Timing methodology: dependency-honest SLOPE timing — wall-clock of 40
 dispatches minus wall-clock of 10, divided by 30, with a tiny device->
@@ -32,10 +34,13 @@ Flags:
   --run <config>/<run>  benchmark a TRAINED checkpoint on images from the
                         config's test provider (real action mix)
                         instead of fresh-init weights on noise images.
+  --stream              deep-pipelined stream serving (the default when
+                        a trained checkpoint exists).
+  --switch              single-jit lax.switch pipeline (the default
+                        without a trained checkpoint).
   --bf16                policy rollout in bfloat16 (MXU-native).
   --f32                 float32 image I/O instead of the uint8 default.
-  --grouped             replay through the signature-grouped switchless
-                        kernels (see above).
+  --grouped             per-batch synchronous signature-grouped replay.
   --no-pallas           replay through the branchless jnp chain.
 
 vs_baseline: the north-star target is >=10,000 images/sec on a v5e-8

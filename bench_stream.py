@@ -111,81 +111,128 @@ def main():
     pool = pool.replace(states=jax.device_put(pool.states, shard))
 
     giters, citers = cfg.giters, cfg.citers
-    step = build_streaming_outer_step(cfg, policy, critic, value, filters,
-                                      tx, mesh, giters=giters,
-                                      citers=citers)
+    fuse = _flag('--fuse', 1)
+    if fuse > 1:
+        from exposure_tpu.core.steps import build_streaming_fused_step
+        step = build_streaming_fused_step(cfg, policy, critic, value,
+                                          filters, tx, mesh, giters=giters,
+                                          citers=citers, n_iters=fuse)
+    else:
+        step = build_streaming_outer_step(cfg, policy, critic, value,
+                                          filters, tx, mesh, giters=giters,
+                                          citers=citers)
 
     b, p = cfg.batch_size, cfg.replay_memory_size
     chunk = 2 * b + p
 
     assembly_times = []
     legacy = '--legacy-assembly' in sys.argv
+    debug = '--debug' in sys.argv
+    # uint8 bundles: 4x smaller uploads (the binding resource —
+    # STREAM_ROOFLINE.md), quantized at native assembly, dequantized
+    # inside the jitted step (steps.py _dequant_stream)
+    bdt = np.uint8 if '--u8' in sys.argv else np.float32
 
     def assemble():
         t0 = time.time()
-        g_fresh = np.empty((giters, chunk, 64, 64, 3), np.float32)
+        g_fresh = np.empty((fuse * giters, chunk, 64, 64, 3), bdt)
         if legacy:
-            for i in range(giters):
-                g_fresh[i] = fake_provider.get_next_batch(chunk)[0]
-            real = np.stack([real_provider.get_next_batch(b)[0]
-                             for _ in range(citers)])
+            def q(x):
+                return (np.clip(x, 0, 1) * 255 + 0.5).astype(bdt) \
+                    if bdt == np.uint8 else x
+            for i in range(fuse * giters):
+                g_fresh[i] = q(fake_provider.get_next_batch(chunk)[0])
+            real = q(np.stack([real_provider.get_next_batch(b)[0]
+                               for _ in range(fuse * citers)]))
         else:
             # zero-restack path: ONE native call per stream fills the
             # bundle in its final layout (hostloader.cpp hl_sample_crops)
             fake_provider.sample_into(g_fresh.reshape(-1, 64, 64, 3))
-            real = np.empty((citers * b, 64, 64, 3), np.float32)
+            real = np.empty((fuse * citers * b, 64, 64, 3), bdt)
             real_provider.sample_into(real)
-            real = real.reshape(citers, b, 64, 64, 3)
-        assembly_times.append(1000 * (time.time() - t0))
-        return jnp.asarray(g_fresh), jnp.asarray(real)
+            real = real.reshape(fuse * citers, b, 64, 64, 3)
+        if fuse > 1:
+            g_fresh = g_fresh.reshape((fuse, giters) + g_fresh.shape[1:])
+            real = real.reshape((fuse, citers) + real.shape[1:])
+        t_np = time.time()
+        out = jnp.asarray(g_fresh), jnp.asarray(real)
+        t_enq = time.time()
+        assembly_times.append(1000 * (t_enq - t0))
+        if debug:
+            jax.block_until_ready(out)
+            print('# assemble: numpy %.0f ms, upload enq %.0f ms, '
+                  'upload done +%.0f ms' %
+                  (1000 * (t_np - t0), 1000 * (t_enq - t_np),
+                   1000 * (time.time() - t_enq)), file=sys.stderr,
+                  flush=True)
+        return out
 
     prefetcher = AsyncPrefetcher(assemble, slots=_flag('--slots', 2))
     key = jax.random.PRNGKey(0)
 
+    def dispatch(st, pl, g_fresh, real, i):
+        if fuse > 1:
+            its = np.arange(i * fuse, (i + 1) * fuse, dtype=np.int32)
+            return step(st, pl, g_fresh, real, key, its,
+                        np.full((fuse,), 1e-5, np.float32),
+                        np.full((fuse,), 5e-5, np.float32),
+                        np.asarray(its / 20000, np.float32))
+        return step(st, pl, g_fresh, real, jax.random.fold_in(key, i),
+                    jnp.float32(1e-5), jnp.float32(5e-5),
+                    jnp.float32(i / 20000))
+
     t_c = time.time()
     g_fresh, real = prefetcher.get_next()
-    state, pool, metrics = step(state, pool, g_fresh, real, key,
-                                jnp.float32(1e-5), jnp.float32(5e-5),
-                                jnp.float32(0.0))
+    state, pool, metrics = dispatch(state, pool, g_fresh, real, 0)
     jax.block_until_ready(metrics)
     compile_s = time.time() - t_c
 
+    n_disp = max(iters // fuse, 1)
     times = []
     t_loop = time.time()
-    for i in range(iters):
+    for i in range(n_disp):
         t0 = time.time()
         g_fresh, real = prefetcher.get_next()
-        state, pool, metrics = step(state, pool, g_fresh, real,
-                                    jax.random.fold_in(key, i),
-                                    jnp.float32(1e-5), jnp.float32(5e-5),
-                                    jnp.float32(i / 20000))
+        t_get = time.time()
+        state, pool, metrics = dispatch(state, pool, g_fresh, real, i + 1)
+        t_disp = time.time()
         jax.block_until_ready(metrics)
-        times.append(1000 * (time.time() - t0))
+        t_blk = time.time()
+        times.append(1000 * (t_blk - t0) / fuse)
+        if debug:
+            print('# disp %d: get %.0f ms, call %.0f ms, block %.0f ms'
+                  % (i, 1000 * (t_get - t0), 1000 * (t_disp - t_get),
+                     1000 * (t_blk - t_disp)), file=sys.stderr, flush=True)
     # force REAL completion (block_until_ready can ack early through the
     # remote tunnel — CLAUDE.md): fetch a scalar of the final chained
     # state before closing the wall-clock window
-    float(np.asarray(metrics.g_loss))
-    wall_ms = 1000 * (time.time() - t_loop) / iters
+    float(np.asarray(metrics.g_loss).ravel()[-1])
+    wall_ms = 1000 * (time.time() - t_loop) / (n_disp * fuse)
     prefetcher.stop()
 
     ms = max(float(np.median(times)), wall_ms)
-    bytes_per_iter = (giters * chunk + citers * b) * 64 * 64 * 3 * 4
+    bytes_per_iter = ((giters * chunk + citers * b) * 64 * 64 * 3
+                      * np.dtype(bdt).itemsize)
+    bundle_bytes = fuse * bytes_per_iter
     print(json.dumps({
         'metric': 'stream_train_outer_iter_ms',
         'value': round(ms, 2),
-        'unit': 'ms/iter (streamed from %.1f GB on-disk pack)' % pack_gb,
+        'unit': 'ms/iter (streamed from %.1f GB on-disk pack%s)' % (
+            pack_gb, ', fused x%d' % fuse if fuse > 1 else ''),
         'vs_baseline': round(300.0 / ms, 2),
         'pack_images': n_fake,
+        'iters_per_dispatch': fuse,
+        'bundle_dtype': str(np.dtype(bdt)),
         'median_host_assembly_ms': round(float(np.median(assembly_times)),
                                          2),
         'host_assembly_gb_per_s': round(
-            bytes_per_iter / (np.median(assembly_times) / 1000) / (1 << 30),
+            bundle_bytes / (np.median(assembly_times) / 1000) / (1 << 30),
             2),
         'wall_ms_per_iter': round(wall_ms, 2),
         'projected_20k_iters_min': round(ms * 20001 / 1000 / 60, 2),
         'compile_s': round(compile_s, 1),
-        'g_loss': float(np.asarray(metrics.g_loss)),
-        'emd': float(np.asarray(metrics.emd)),
+        'g_loss': float(np.asarray(metrics.g_loss).ravel()[-1]),
+        'emd': float(np.asarray(metrics.emd).ravel()[-1]),
     }))
     if '--keep-pack' not in sys.argv:
         fake_provider.close()

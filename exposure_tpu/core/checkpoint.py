@@ -26,6 +26,14 @@ def save_checkpoint(directory, state, step, keep=1):
     # mid-write can never leave a truncated checkpoint in place (and only
     # then prune older ones).
     tmp = path + '.tmp'
+    # sweep orphaned temp files from writes a previous process died
+    # inside (the rename below never published them)
+    for stale in os.listdir(directory):
+        if stale.endswith('.msgpack.tmp') and stale != os.path.basename(tmp):
+            try:
+                os.remove(os.path.join(directory, stale))
+            except OSError:
+                pass
     with open(tmp, 'wb') as f:
         f.write(serialization.to_bytes(_to_host(state)))
         f.flush()

@@ -341,6 +341,129 @@ def build_fused_iterations_step(cfg, policy, critic_mod, value_mod,
     return jax.jit(mapped)
 
 
+def _dequant_stream(x):
+    """Dequantize a uint8 streaming bundle inside the jit (u8 bundles
+    cut the host->device upload 4x — the binding resource for streaming
+    training; native loader quantizes round(clamp(v,0,1)*255) at
+    assembly, hostloader.cpp hl_sample_crops_u8).  float32 bundles pass
+    through untouched, so the same builder serves both dtypes (jit
+    specializes per input dtype)."""
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+    return x
+
+
+def build_streaming_fused_step(cfg, policy, critic_mod, value_mod, filters,
+                               tx, mesh, giters, citers, n_iters):
+    """Compile N streaming outer iterations into ONE dispatch.
+
+    The streaming path (fresh host data per call) previously dispatched
+    every outer iteration separately — paying the remote-dispatch
+    latency the device-resident path already amortizes via
+    ``build_fused_iterations_step``.  This builder scans N iterations
+    over a stacked data bundle instead.
+
+    RNG parity: each scanned iteration folds keys exactly like the
+    Trainer's per-iteration streaming dispatch pair — the g-phase
+    dispatch key is ``fold_in(fold_in(base, it), 0)`` and the c-phase
+    key ``fold_in(fold_in(base, it), 1)`` (trainer.py ``run()``), each
+    axis-folded and sub-folded inside the shard exactly like
+    ``build_streaming_outer_step`` — so a fused chunk is BIT-IDENTICAL
+    to the same iterations dispatched one by one on the same data
+    (tests/test_train_step.py::test_streaming_fused_match_sequential).
+
+    Call signature:
+      step(state, pool, g_fresh [N, giters, 2B+P, S, S, C],
+           real_batches [N, citers, B, S, S, C], base_key,
+           iter_idx [N] int32, lr_gs [N], lr_cs [N], progresses [N])
+    Returns (state, pool, metrics) with every StepMetrics field stacked
+    per iteration (shape [N]).
+    """
+    n_dev = _check_divisibility(cfg, mesh)
+    local_batch = cfg.batch_size // n_dev
+    supervised = bool(cfg.get('supervised', False))
+    if supervised:
+        assert citers == 0, 'supervised mode has no critic updates'
+    img_channels = cfg.get('real_img_channels', 3)
+    g_update, c_update = _make_phase_bodies(
+        cfg, policy, critic_mod, value_mod, filters, tx, local_batch)
+
+    def sharded_step(state, pool, g_fresh, real_batches, base_key,
+                     iter_idx, lr_gs, lr_cs, progresses):
+        g_fresh = _dequant_stream(g_fresh)
+        real_batches = _dequant_stream(real_batches)
+        axis = jax.lax.axis_index(DATA_AXIS)
+        local_pool = pool.size
+        b = local_batch
+
+        def pair(x):
+            if supervised:
+                return x[..., :img_channels], x[..., img_channels:]
+            return x, None
+
+        def one_iteration(st, pl, it, g_data, c_data, lr_g, lr_c,
+                          progress):
+            it_key = jax.random.fold_in(base_key, it)
+            # --- g phase: identical folding to a streaming (giters, 0)
+            # dispatch with key fold_in(it_key, 0)
+            gk = jax.random.fold_in(jax.random.fold_in(it_key, 0), axis)
+
+            def g_body(carry, xs):
+                st_, pl_ = carry
+                k, fresh = xs
+                k_sel, k_step, k_keep = jax.random.split(k, 3)
+                triplet = (pair(fresh[:b]), pair(fresh[b:2 * b]),
+                           pair(fresh[2 * b:2 * b + local_pool]))
+                st_, pl_, outs = g_update(st_, pl_, triplet,
+                                          (k_sel, k_step, k_keep), lr_g,
+                                          progress)
+                return (st_, pl_), outs
+
+            g_keys = jax.random.split(jax.random.fold_in(gk, 1), giters)
+            (st, pl), g_outs = jax.lax.scan(g_body, (st, pl),
+                                            (g_keys, g_data))
+
+            c_outs = None
+            if citers > 0:
+                # --- c phase: identical to a streaming (0, citers)
+                # dispatch with key fold_in(it_key, 1)
+                ck = jax.random.fold_in(
+                    jax.random.fold_in(it_key, 1), axis)
+
+                def c_body(st_, xs):
+                    k, real_b = xs
+                    k_fake, k_gp = jax.random.split(k, 2)
+                    return c_update(st_, pl, real_b, (k_fake, k_gp),
+                                    lr_c)
+
+                c_keys = jax.random.split(jax.random.fold_in(ck, 2),
+                                          citers)
+                st, c_outs = jax.lax.scan(c_body, st, (c_keys, c_data))
+            return _finalize(st, pl, g_outs, c_outs, citers)
+
+        def body(carry, xs):
+            st, pl = carry
+            it, g_data, c_data, lr_g, lr_c, prog = xs
+            st, pl, metrics = one_iteration(st, pl, it, g_data, c_data,
+                                            lr_g, lr_c, prog)
+            return (st, pl), metrics
+
+        (state, pool), all_metrics = jax.lax.scan(
+            body, (state, pool),
+            (iter_idx, g_fresh, real_batches, lr_gs, lr_cs, progresses))
+        return state, pool, all_metrics
+
+    mapped = jax.shard_map(
+        sharded_step,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(None, None, DATA_AXIS),
+                  P(None, None, DATA_AXIS), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(DATA_AXIS), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
 def build_streaming_outer_step(cfg, policy, critic_mod, value_mod, filters,
                                tx, mesh, giters, citers):
     """Compile the streaming train step: fresh data arrives per call.
@@ -366,6 +489,8 @@ def build_streaming_outer_step(cfg, policy, critic_mod, value_mod, filters,
 
     def sharded_step(state, pool, g_fresh, real_batches, key, lr_g, lr_c,
                      progress):
+        g_fresh = _dequant_stream(g_fresh)
+        real_batches = _dequant_stream(real_batches)
         axis = jax.lax.axis_index(DATA_AXIS)
         key = jax.random.fold_in(key, axis)
         local_pool = pool.size

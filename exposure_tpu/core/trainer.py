@@ -253,55 +253,74 @@ class Trainer:
                   '%.1fs' % (giters, citers, time.time() - t0))
         return self._steps[key]
 
-    def _assemble_stream(self, giters, citers):
+    def _assemble_stream(self, giters, citers, n_iters=1):
         """Host-side fresh-data assembly for one streaming call; in
         supervised mode each fresh image carries its paired ground truth
-        channel-stacked ([..., 2C])."""
+        channel-stacked ([..., 2C]).  ``n_iters > 1`` assembles the
+        stacked bundle for a fused multi-iteration dispatch
+        ([N, giters, ...] / [N, citers, ...]) in the same single native
+        call — reshaped host-side so no extra device op is dispatched."""
         cfg = self.cfg
+        n = n_iters
+        giters, citers = giters * n, citers * n
         b, p = cfg.batch_size, cfg.replay_memory_size
         chunk = 2 * b + p
         c = cfg.real_img_channels
+        # uint8 bundles quarter the host->device upload — the binding
+        # resource for streaming training (STREAM_ROOFLINE.md); pixels
+        # are quantized at assembly and dequantized inside the jitted
+        # step (steps.py _dequant_stream)
+        u8 = str(cfg.get('stream_dtype', 'float32')) == 'uint8'
+        dt = np.uint8 if u8 else np.float32
         g_fresh = np.empty((giters, chunk) +
                            (cfg.source_img_size, cfg.source_img_size,
-                            (2 * c if self.supervised else c)),
-                           np.float32)
+                            (2 * c if self.supervised else c)), dt)
         if (not self.supervised
                 and hasattr(self.fake_provider, 'sample_into')):
             # native zero-restack path: ONE hostloader call fills the
             # whole [giters*chunk, S, S, C] bundle in its final layout
+            # (quantizing at write in the u8 case)
             self.fake_provider.sample_into(
                 g_fresh.reshape((giters * chunk,) + g_fresh.shape[2:]))
         else:
+            def q(x):
+                return (np.clip(x, 0.0, 1.0) * 255.0 + 0.5).astype(dt) \
+                    if u8 else x
             for i in range(giters):
                 batch = self.fake_provider.get_next_batch(chunk)[0]
                 if self.supervised:
                     # paired provider yields [n, 2, S, S, C]
-                    g_fresh[i, ..., :c] = batch[:, 0]
-                    g_fresh[i, ..., c:] = batch[:, 1]
+                    g_fresh[i, ..., :c] = q(batch[:, 0])
+                    g_fresh[i, ..., c:] = q(batch[:, 1])
                 else:
-                    g_fresh[i] = batch
+                    g_fresh[i] = q(batch)
         if citers > 0 and hasattr(self.real_provider, 'sample_into'):
             real = np.empty((citers * b, cfg.source_img_size,
                              cfg.source_img_size, cfg.real_img_channels),
-                            np.float32)
+                            dt)
             self.real_provider.sample_into(real)
             real = real.reshape((citers, b) + real.shape[1:])
         elif citers > 0:
             real = np.stack([self.real_provider.get_next_batch(b)[0]
                              for _ in range(citers)])
+            if u8:
+                real = (np.clip(real, 0.0, 1.0) * 255.0 + 0.5).astype(dt)
         else:
             real = np.zeros((0, b, cfg.source_img_size,
                              cfg.source_img_size, cfg.real_img_channels),
-                            np.float32)
+                            dt)
+        if n > 1:
+            g_fresh = g_fresh.reshape((n, giters // n) + g_fresh.shape[1:])
+            real = real.reshape((n, citers // n) + real.shape[1:])
         return jnp.asarray(g_fresh), jnp.asarray(real)
 
-    def _stream_bundle(self, giters, citers):
+    def _stream_bundle(self, giters, citers, n_iters=1):
         """Fetch a streaming data bundle, overlapping host assembly with
-        device execution via a single-slot prefetcher per shape."""
+        device execution via a multi-slot prefetcher per shape."""
         from exposure_tpu.utils.prefetch import AsyncPrefetcher
         if not hasattr(self, '_prefetchers'):
             self._prefetchers = {}
-        key = (giters, citers)
+        key = (giters, citers, n_iters)
         if key not in self._prefetchers:
             self._prefetchers[key] = AsyncPrefetcher(
                 self._assemble_stream, args=key,
@@ -337,8 +356,14 @@ class Trainer:
         base_key = jax.random.PRNGKey(cfg.get('seed', 0) + 1)
         start_iter = int(self.state.step)
 
-        n_fuse = 1 if self.streaming else \
-            int(cfg.get('iters_per_dispatch', 1))
+        # Streaming fuses fewer iterations per dispatch than the
+        # device-resident path (default 10, not 100): the host bundle
+        # grows linearly with the chunk (~27 MB/iter at flagship
+        # shapes), and a divisor of checkpoint_interval keeps the
+        # number of distinct compiled chunk sizes small (remote
+        # compiles are expensive).
+        n_fuse = int(cfg.get('stream_iters_per_dispatch', 10)) \
+            if self.streaming else int(cfg.get('iters_per_dispatch', 1))
         depth = max(0, int(cfg.get('dispatch_pipeline_depth', 2)))
         pending = collections.deque()
         self._metrics_last = None
@@ -390,7 +415,9 @@ class Trainer:
             chunk = plan_fused_chunk(it, cfg, n_fuse, self.supervised)
             if chunk > 1:
                 citers = cfg.citers if not self.supervised else 0
-                metrics = self._run_fused(it, chunk, base_key)
+                metrics = (self._run_fused_streaming(it, chunk, base_key)
+                           if self.streaming
+                           else self._run_fused(it, chunk, base_key))
                 self.state = self.state.replace(step=np.int32(it + chunk))
                 push(it, chunk, citers, metrics)
                 it += chunk
@@ -521,6 +548,32 @@ class Trainer:
         self.state, self.pool, metrics = self._steps[key](
             self.state, self.pool, self.fake_images, self.real_images,
             base_key, iters, lr_gs, lr_cs, progs)
+        return metrics
+
+    def _run_fused_streaming(self, it, chunk, base_key):
+        """Dispatch ``chunk`` streaming iterations as one fused scan call
+        over a stacked host bundle (assembled by ONE prefetcher call, so
+        the provider seed streams stay single-threaded per shape)."""
+        cfg = self.cfg
+        citers = 0 if self.supervised else cfg.citers
+        key = ('sfused', cfg.giters, citers, chunk)
+        if key not in self._steps:
+            from exposure_tpu.core.steps import build_streaming_fused_step
+            t0 = time.time()
+            self._steps[key] = build_streaming_fused_step(
+                cfg, self.policy, self.critic, self.value, self.filters,
+                self.tx, self.mesh, cfg.giters, citers, chunk)
+            print('# compiled streaming fused step (giters=%d, citers=%d,'
+                  ' n=%d) handle in %.1fs' % (cfg.giters, citers, chunk,
+                                              time.time() - t0))
+        g_fresh, real = self._stream_bundle(cfg.giters, citers, chunk)
+        iters = np.arange(it, it + chunk, dtype=np.int32)
+        lr_gs = np.asarray([cfg.lr_g(j) for j in iters], np.float32)
+        lr_cs = np.asarray([cfg.lr_c(j) for j in iters], np.float32)
+        progs = np.asarray(iters / cfg.max_iter_step, np.float32)
+        self.state, self.pool, metrics = self._steps[key](
+            self.state, self.pool, g_fresh, real, base_key, iters,
+            lr_gs, lr_cs, progs)
         return metrics
 
     def _process_record(self, rec, books):

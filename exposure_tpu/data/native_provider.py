@@ -36,11 +36,17 @@ class NativePackProvider:
         return batch, np.zeros((batch_size,), np.float32)
 
     def sample_into(self, dest):
-        """Fill a C-contiguous [n, S, S, C] float32 view in ONE native
-        call (streaming bundle assembly: no Python batch loop, no
+        """Fill a C-contiguous [n, S, S, C] float32 OR uint8 view in ONE
+        native call (streaming bundle assembly: no Python batch loop, no
         restack copy).  Advances the same seed stream as
-        ``get_next_batch``."""
+        ``get_next_batch``; a uint8 dest gets the quantized pixels of
+        the float32 bundle the same seed would produce (4x smaller
+        host->device upload; dequantized inside the jitted step)."""
         self._seed = np.uint64(self._seed + 0x9e3779b9)
+        if dest.dtype == np.uint8 and self.image_scaling != 1.0:
+            raise ValueError('uint8 bundles cannot carry image_scaling '
+                             '(%g); fold it into the device-side dequant '
+                             'instead' % self.image_scaling)
         self.pack.sample_into(dest, augment=self.augmentation > 0,
                               seed=int(self._seed))
         if self.image_scaling != 1.0:

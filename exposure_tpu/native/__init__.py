@@ -39,6 +39,12 @@ def _load():
             ctypes.c_ulonglong,
             np.ctypeslib.ndpointer(np.float32, flags='C_CONTIGUOUS'),
         ]
+        lib.hl_sample_crops_u8.restype = ctypes.c_int
+        lib.hl_sample_crops_u8.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_long, ctypes.c_int,
+            ctypes.c_ulonglong,
+            np.ctypeslib.ndpointer(np.uint8, flags='C_CONTIGUOUS'),
+        ]
         lib.hl_close_pack.restype = None
         lib.hl_close_pack.argtypes = [ctypes.c_void_p]
         _lib = lib
@@ -72,19 +78,23 @@ class NativePack:
         return out
 
     def sample_into(self, out, augment=True, seed=0):
-        """Fill a caller-owned C-contiguous [batch, S, S, C] float32
-        buffer in ONE native call — the zero-restack path streaming
-        training uses to assemble a whole multi-iteration bundle
-        directly into its final layout (no per-iteration Python loop,
-        no intermediate copy)."""
-        if (out.ndim != 4 or out.dtype != np.float32
+        """Fill a caller-owned C-contiguous [batch, S, S, C] buffer in
+        ONE native call — the zero-restack path streaming training uses
+        to assemble a whole multi-iteration bundle directly into its
+        final layout (no per-iteration Python loop, no intermediate
+        copy).  dtype float32 (exact pack values) or uint8 (pixels
+        quantized round(clamp(x,0,1)*255) at write — 4x smaller bundle
+        uploads; same RNG stream, so identical crops/flips)."""
+        if (out.ndim != 4 or out.dtype not in (np.float32, np.uint8)
                 or not out.flags.c_contiguous
                 or out.shape[1] != out.shape[2]
                 or out.shape[3] != self.shape[3]):
-            raise ValueError('need C-contiguous [n, S, S, %d] float32, '
-                             'got %s %s' % (self.shape[3], out.shape,
-                                            out.dtype))
-        rc = self._lib.hl_sample_crops(
+            raise ValueError('need C-contiguous [n, S, S, %d] float32 or '
+                             'uint8, got %s %s' % (self.shape[3],
+                                                   out.shape, out.dtype))
+        fn = (self._lib.hl_sample_crops if out.dtype == np.float32
+              else self._lib.hl_sample_crops_u8)
+        rc = fn(
             self._handle, out.shape[0], out.shape[1], int(bool(augment)),
             np.uint64(seed) or 1, out)
         if rc != 0:

@@ -24,6 +24,8 @@
 #include <cstring>
 #include <cstdlib>
 #include <string>
+#include <type_traits>
+#include <vector>
 
 #include <fcntl.h>
 #include <sys/mman.h>
@@ -146,6 +148,8 @@ int hl_pack_info(void* handle, long* n, long* h, long* w, long* c) {
   return 0;
 }
 
+}  // extern "C"
+
 namespace {
 
 // Bilinear resize of one [H, W, C] image to [out, out, C], matching
@@ -186,8 +190,19 @@ static void bilinear_resize(const float* src, long H, long W, long C,
 
 }  // namespace
 
-int hl_sample_crops(void* handle, long batch, long out_size, int augment,
-                    unsigned long long seed, float* out) {
+namespace {
+
+inline unsigned char quantize_u8(float x) {
+  x = x < 0.f ? 0.f : (x > 1.f ? 1.f : x);
+  return static_cast<unsigned char>(x * 255.f + 0.5f);
+}
+
+// Shared sampling core: identical RNG stream / crop selection for both
+// output dtypes, so a u8 bundle holds EXACTLY the quantized f32 bundle
+// the same seed would produce (tests/test_native_loader.py).
+template <typename Dst>
+int sample_crops_impl(void* handle, long batch, long out_size, int augment,
+                      unsigned long long seed, Dst* out) {
   if (!handle) return -1;
   Pack* p = static_cast<Pack*>(handle);
   const long H = p->h, W = p->w, C = p->c;
@@ -195,17 +210,26 @@ int hl_sample_crops(void* handle, long batch, long out_size, int augment,
   const long crop_max_x = augment ? (H - out_size + 1) : 1;
   const long crop_max_y = augment ? (W - out_size + 1) : 1;
   const bool resize = !augment && (out_size != H || out_size != W);
+  constexpr bool kF32 = std::is_same<Dst, float>::value;
 
 #pragma omp parallel for schedule(static)
   for (long i = 0; i < batch; ++i) {
     uint64_t state = seed ^ (0x5851f42d4c957f2dULL * (i + 1));
     long idx = rand_below(state, p->n);
     const float* src = p->data + static_cast<size_t>(idx) * H * W * C;
-    float* dst = out + static_cast<size_t>(i) * out_size * out_size * C;
+    Dst* dst = out + static_cast<size_t>(i) * out_size * out_size * C;
     if (resize) {
       // non-augmented path: bilinear resize of the whole image, matching
       // the Python provider (data/provider.py:89-101)
-      bilinear_resize(src, H, W, C, out_size, dst);
+      if (kF32) {
+        bilinear_resize(src, H, W, C, out_size,
+                        reinterpret_cast<float*>(dst));
+      } else {
+        std::vector<float> tmp(out_size * out_size * C);
+        bilinear_resize(src, H, W, C, out_size, tmp.data());
+        for (long k = 0; k < out_size * out_size * C; ++k)
+          dst[k] = static_cast<Dst>(quantize_u8(tmp[k]));
+      }
       continue;
     }
     long sx = 0, sy = 0;
@@ -216,18 +240,46 @@ int hl_sample_crops(void* handle, long batch, long out_size, int augment,
     bool flip = augment && (splitmix64(state) & 1);
     for (long r = 0; r < out_size; ++r) {
       const float* row = src + ((sx + r) * W + sy) * C;
-      float* drow = dst + r * out_size * C;
-      if (!flip) {
+      Dst* drow = dst + r * out_size * C;
+      if (kF32 && !flip) {
         memcpy(drow, row, out_size * C * sizeof(float));
       } else {
         for (long col = 0; col < out_size; ++col) {
-          const float* pix = row + (out_size - 1 - col) * C;
-          memcpy(drow + col * C, pix, C * sizeof(float));
+          const float* pix = row + (flip ? (out_size - 1 - col) : col) * C;
+          if (kF32) {
+            memcpy(drow + col * C, pix, C * sizeof(float));
+          } else {
+            for (long ch = 0; ch < C; ++ch)
+              drow[col * C + ch] =
+                  static_cast<Dst>(quantize_u8(pix[ch]));
+          }
         }
       }
     }
   }
   return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+int hl_sample_crops(void* handle, long batch, long out_size, int augment,
+                    unsigned long long seed, float* out) {
+  return sample_crops_impl<float>(handle, batch, out_size, augment, seed,
+                                  out);
+}
+
+// u8 variant: same crops/flips as hl_sample_crops for the same seed,
+// pixels quantized round(clamp(x,0,1)*255) — 4x fewer bytes for the
+// host->device bundle upload, dequantized inside the jitted streaming
+// step (core/steps.py).  Real-photo packs that originated as 8-bit
+// sources round-trip exactly.
+int hl_sample_crops_u8(void* handle, long batch, long out_size,
+                       int augment, unsigned long long seed,
+                       unsigned char* out) {
+  return sample_crops_impl<unsigned char>(handle, batch, out_size, augment,
+                                          seed, out);
 }
 
 void hl_close_pack(void* handle) {

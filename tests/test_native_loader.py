@@ -168,3 +168,32 @@ def test_sample_into_matches_sample(pack_file):
     np.testing.assert_array_equal(dest, batch)
     dp.close()
     dp2.close()
+
+
+def test_sample_u8_quantizes_same_crops(pack_file):
+    # the u8 variant must follow the SAME RNG stream (identical crop/
+    # flip selection) and write round(clamp(x,0,1)*255) of the f32
+    # pixels — both on the augmented-crop path and the bilinear-resize
+    # path (hostloader.cpp sample_crops_impl<unsigned char>)
+    from exposure_tpu.native import NativePack
+    path, _ = pack_file
+    np_pack = NativePack(path)
+    for augment, out_size in ((True, 64), (False, 48)):
+        f32 = np.empty((12, out_size, out_size, 3), np.float32)
+        u8 = np.empty((12, out_size, out_size, 3), np.uint8)
+        np_pack.sample_into(f32, augment=augment, seed=123)
+        np_pack.sample_into(u8, augment=augment, seed=123)
+        expect = (np.clip(f32, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+        np.testing.assert_array_equal(u8, expect)
+        assert u8.std() > 0  # non-degenerate content
+    np_pack.close()
+
+
+def test_provider_u8_rejects_scaling(pack_file):
+    from exposure_tpu.data.native_provider import NativePackProvider
+    path, _ = pack_file
+    dp = NativePackProvider(path, output_size=64, augmentation=0.3,
+                            image_scaling=2.0, seed=5)
+    with pytest.raises(ValueError):
+        dp.sample_into(np.empty((4, 64, 64, 3), np.uint8))
+    dp.close()

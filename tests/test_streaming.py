@@ -77,6 +77,68 @@ def test_streaming_step_runs_and_updates(setup, rng):
     assert ps[:, STATE_STEP_DIM].max() >= 1
 
 
+def test_streaming_fused_match_sequential(setup, rng):
+    # One fused N-iteration streaming dispatch must reproduce the
+    # Trainer's per-iteration streaming dispatch pair (g-phase call with
+    # key fold_in(it_key, 0) + c-phase call with fold_in(it_key, 1))
+    # exactly, including RNG folding, on the same data slices.
+    cfg, mesh, filters, policy, critic, value, tx, state, pool = setup
+    from exposure_tpu.core.steps import build_streaming_fused_step
+    giters, citers, n = 1, 2, 3
+    b, p = cfg.batch_size, cfg.replay_memory_size
+    g_all = jnp.asarray(
+        rng.rand(n, giters, 2 * b + p, 64, 64, 3).astype(np.float32))
+    real_all = jnp.asarray(
+        rng.rand(n, citers, b, 64, 64, 3).astype(np.float32))
+
+    g_step = build_streaming_outer_step(cfg, policy, critic, value,
+                                        filters, tx, mesh, giters, 0)
+    c_step = build_streaming_outer_step(cfg, policy, critic, value,
+                                        filters, tx, mesh, 0, citers)
+    fused = build_streaming_fused_step(cfg, policy, critic, value,
+                                       filters, tx, mesh, giters, citers,
+                                       n)
+
+    base = jax.random.PRNGKey(321)
+    iters = [5, 6, 7]
+    lr_g, lr_c = 1e-4, 2e-4
+    empty_real = jnp.zeros((0, b, 64, 64, 3))
+    empty_g = jnp.zeros((0, 2 * b + p, 64, 64, 3))
+
+    st, pl = state, pool
+    for i, it in enumerate(iters):
+        it_key = jax.random.fold_in(base, it)
+        prog = jnp.float32(it / cfg.max_iter_step)
+        st, pl, _ = g_step(st, pl, g_all[i], empty_real,
+                           jax.random.fold_in(it_key, 0),
+                           jnp.float32(lr_g), jnp.float32(lr_c), prog)
+        st, pl, _ = c_step(st, pl, empty_g, real_all[i],
+                           jax.random.fold_in(it_key, 1),
+                           jnp.float32(lr_g), jnp.float32(lr_c), prog)
+
+    fst, fpl, fmetrics = fused(
+        state, pool, g_all, real_all, base,
+        jnp.asarray(iters, jnp.int32),
+        jnp.full((n,), lr_g, jnp.float32),
+        jnp.full((n,), lr_c, jnp.float32),
+        jnp.asarray([i / cfg.max_iter_step for i in iters], jnp.float32))
+
+    for a, b2 in zip(jax.tree_util.tree_leaves(
+                         (st.gen_params, st.crit_params, st.val_params)),
+                     jax.tree_util.tree_leaves(
+                         (fst.gen_params, fst.crit_params,
+                          fst.val_params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
+                                   atol=1e-6, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(pl.images),
+                               np.asarray(fpl.images), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(pl.states),
+                                  np.asarray(fpl.states))
+    for v in fmetrics._asdict().values():
+        assert np.asarray(v).shape == (n,)
+        assert np.isfinite(np.asarray(v)).all()
+
+
 def test_streamed_fresh_data_reaches_pool(setup, rng):
     # mark the streamed fresh crops with a sentinel; after enough
     # g-iterations dropped/thinned slots must contain it
@@ -97,3 +159,39 @@ def test_streamed_fresh_data_reaches_pool(setup, rng):
     imgs = np.asarray(pl.images)
     is_sentinel = np.isclose(imgs, 0.123456).all(axis=(1, 2, 3))
     assert is_sentinel.any(), 'no fresh streamed record entered the pool'
+
+
+def test_streaming_u8_bundle_matches_dequantized_f32(setup, rng):
+    # uint8 bundles are dequantized INSIDE the jit (steps.py
+    # _dequant_stream); the u8 call must match an f32 call fed
+    # u8*(1/255) host-side to float32 rounding (XLA may fuse the
+    # dequant multiply into downstream FMAs, so last-ulp differences
+    # are expected but nothing more), and the builder serves both
+    # dtypes (jit respecializes per input dtype)
+    cfg, mesh, filters, policy, critic, value, tx, state, pool = setup
+    giters, citers = 1, 1
+    b, p = cfg.batch_size, cfg.replay_memory_size
+    step = build_streaming_outer_step(cfg, policy, critic, value,
+                                      filters, tx, mesh, giters, citers)
+    g_u8 = (rng.rand(giters, 2 * b + p, 64, 64, 3) * 255).astype(np.uint8)
+    r_u8 = (rng.rand(citers, b, 64, 64, 3) * 255).astype(np.uint8)
+    key = jax.random.PRNGKey(11)
+    args = (key, jnp.float32(1e-4), jnp.float32(1e-4), jnp.float32(0.1))
+
+    st8, pl8, m8 = step(state, pool, jnp.asarray(g_u8), jnp.asarray(r_u8),
+                        *args)
+    stf, plf, mf = step(state, pool,
+                        jnp.asarray(g_u8.astype(np.float32)
+                                    * np.float32(1.0 / 255.0)),
+                        jnp.asarray(r_u8.astype(np.float32)
+                                    * np.float32(1.0 / 255.0)),
+                        *args)
+    for a, b2 in zip(jax.tree_util.tree_leaves(st8.gen_params),
+                     jax.tree_util.tree_leaves(stf.gen_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
+                                   atol=1e-6, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(pl8.images),
+                               np.asarray(plf.images), atol=1e-6)
+    for v8, vf in zip(m8._asdict().values(), mf._asdict().values()):
+        np.testing.assert_allclose(np.asarray(v8), np.asarray(vf),
+                                   atol=1e-5, rtol=1e-4)

@@ -32,8 +32,11 @@ def test_streaming_trainer_smoke(native_packs, tmp_path):
 
     cfg = load_config('test')
     cfg.name = 'stream_test/smoke'
-    cfg.max_iter_step = 2
+    cfg.max_iter_step = 8
     cfg.stream_data = True
+    # exercise the fused multi-iteration streaming dispatch
+    # (trainer._run_fused_streaming) including a remainder chunk
+    cfg.stream_iters_per_dispatch = 3
     cfg.fake_data_provider = lambda: NativePackProvider(
         raw_path, output_size=64, augmentation=0.3, seed=0)
     cfg.real_data_provider = lambda: NativePackProvider(
