@@ -23,12 +23,19 @@ def _smooth_field(rng, n, size, channels=3, octaves=3):
     return img
 
 
-def make_synthetic_pack(n=256, size=80, style='raw', seed=0):
+def make_synthetic_pack(n=256, size=80, style='raw', seed=0, cast=0.0):
     """Like a real photo collection, every per-image adjustment is drawn
     from a RANGE, so the set's luminance/contrast/saturation statistics
     form broad distributions — a retouching policy gets partial credit
     on the 32-bin histogram-intersection metric for partial progress
-    (near-delta distributions would score 0 until nearly exact)."""
+    (near-delta distributions would score 0 until nearly exact).
+
+    ``cast`` > 0 adds a per-image random color cast to the 'raw' style
+    (per-channel scales in [1-cast, 1+cast], luminance-renormalized) —
+    the diversity ablation knob: the default procedural data is
+    color-balanced, which makes the White-Balance filter genuinely
+    useless to a trained policy (DIVERSITY.json); casted variants give
+    W something to earn reward on (tools/ablate_w_usage.py)."""
     rng = np.random.RandomState(seed)
     img = _smooth_field(rng, n, size)
     if style == 'raw':
@@ -37,6 +44,14 @@ def make_synthetic_pack(n=256, size=80, style='raw', seed=0):
         gray = img.mean(axis=3, keepdims=True)
         desat = rng.uniform(0.5, 0.85, (n, 1, 1, 1)).astype(np.float32)
         img = desat * gray + (1 - desat) * img
+        if cast > 0:
+            scale = rng.uniform(1 - cast, 1 + cast,
+                                (n, 1, 1, 3)).astype(np.float32)
+            # keep luminance roughly constant so the cast is a pure
+            # color shift (same 0.27/0.67/0.06 weights as the filters)
+            lum_w = np.asarray([0.27, 0.67, 0.06], np.float32)
+            scale /= (scale[..., :] * lum_w).sum(-1, keepdims=True)
+            img = img * scale
     elif style == 'retouched':
         # bright, contrasty, saturated — with artist-like variation
         img = np.clip(img * rng.uniform(1.0, 1.4, (n, 1, 1, 1)), 0, 1) \
@@ -51,8 +66,9 @@ def make_synthetic_pack(n=256, size=80, style='raw', seed=0):
 
 class SyntheticDataProvider(DataProvider):
 
-    def __init__(self, n=256, size=80, style='raw', seed=0, *args, **kwargs):
-        data = make_synthetic_pack(n, size, style, seed)
+    def __init__(self, n=256, size=80, style='raw', seed=0, cast=0.0,
+                 *args, **kwargs):
+        data = make_synthetic_pack(n, size, style, seed, cast=cast)
         super().__init__(data, *args, **kwargs)
 
 
