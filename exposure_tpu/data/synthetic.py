@@ -23,7 +23,20 @@ def _smooth_field(rng, n, size, channels=3, octaves=3):
     return img
 
 
-def make_synthetic_pack(n=256, size=80, style='raw', seed=0, cast=0.0):
+def _contrast_remap(img, strength):
+    """Per-image cosine luminance contrast remap — numpy twin of the Ct
+    filter's transform (ops/filters.py ContrastFilter.process, reference
+    filters.py:404-425) so widened targets span the exact contrast axis
+    the policy can reach.  ``strength`` is [N, 1, 1, 1] in [-1, 1]."""
+    lum_w = np.asarray([0.27, 0.67, 0.06], np.float32)
+    lum = np.clip((img * lum_w).sum(-1, keepdims=True), 0.0, 1.0)
+    contrast_lum = -np.cos(np.pi * lum) * 0.5 + 0.5
+    contrast_img = img / (lum + 1e-6) * contrast_lum
+    return np.clip(img + strength * (contrast_img - img), 0.0, 1.0)
+
+
+def make_synthetic_pack(n=256, size=80, style='raw', seed=0, cast=0.0,
+                        spread=0.0):
     """Like a real photo collection, every per-image adjustment is drawn
     from a RANGE, so the set's luminance/contrast/saturation statistics
     form broad distributions — a retouching policy gets partial credit
@@ -35,7 +48,19 @@ def make_synthetic_pack(n=256, size=80, style='raw', seed=0, cast=0.0):
     the diversity ablation knob: the default procedural data is
     color-balanced, which makes the White-Balance filter genuinely
     useless to a trained policy (DIVERSITY.json); casted variants give
-    W something to earn reward on (tools/ablate_w_usage.py)."""
+    W something to earn reward on (tools/ablate_w_usage.py).
+
+    ``spread`` > 0 widens the 'retouched' targets' contrast/saturation
+    distributions (DIVERSITY.md addendum): the default procedural
+    targets are narrow enough along the Ct axis that a policy applying
+    the aggressive cosine contrast remap to EVERY image is still
+    reward-optimal under the WGAN critic — real artist sets are broad
+    there, so over-concentrated output distributions get penalized.
+    spread=1 draws a per-image Ct-axis strength in [-0.5, 0.9] (the
+    same remap the ContrastFilter applies), widens the chroma boost to
+    [0.8, 2.3] and the tone gamma to [0.45, 1.1].  RNG draws happen
+    AFTER the spread=0 draws, so spread=0 stays bit-identical to the
+    historical pack."""
     rng = np.random.RandomState(seed)
     img = _smooth_field(rng, n, size)
     if style == 'raw':
@@ -59,6 +84,22 @@ def make_synthetic_pack(n=256, size=80, style='raw', seed=0, cast=0.0):
         gray = img.mean(axis=3, keepdims=True)
         boost = rng.uniform(1.1, 2.0, (n, 1, 1, 1)).astype(np.float32)
         img = np.clip(gray + boost * (img - gray), 0, 1)
+        if spread > 0:
+            # widen tone: extra per-image gamma, effective range
+            # ~[0.45, 1.18] at spread=1 (base draw is [0.55, 1.0])
+            g2 = rng.uniform(1 - 0.18 * spread, 1 + 0.18 * spread,
+                             (n, 1, 1, 1)).astype(np.float32)
+            img = img ** g2
+            # widen chroma: effective boost ~[0.8, 2.3] at spread=1
+            b2 = rng.uniform(1 - 0.27 * spread, 1 + 0.15 * spread,
+                             (n, 1, 1, 1)).astype(np.float32)
+            gray = img.mean(axis=3, keepdims=True)
+            img = np.clip(gray + b2 * (img - gray), 0, 1)
+            # span the policy's own contrast axis: per-image cosine
+            # remap strength in [-0.5*spread, 0.9*spread]
+            t = rng.uniform(-0.5 * spread, 0.9 * spread,
+                            (n, 1, 1, 1)).astype(np.float32)
+            img = _contrast_remap(img, t)
     else:
         raise ValueError(style)
     return img.astype(np.float32)
@@ -67,8 +108,9 @@ def make_synthetic_pack(n=256, size=80, style='raw', seed=0, cast=0.0):
 class SyntheticDataProvider(DataProvider):
 
     def __init__(self, n=256, size=80, style='raw', seed=0, cast=0.0,
-                 *args, **kwargs):
-        data = make_synthetic_pack(n, size, style, seed, cast=cast)
+                 spread=0.0, *args, **kwargs):
+        data = make_synthetic_pack(n, size, style, seed, cast=cast,
+                                   spread=spread)
         super().__init__(data, *args, **kwargs)
 
 

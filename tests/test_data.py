@@ -114,3 +114,36 @@ class TestFolds:
         import pytest
         with pytest.raises(ValueError):
             read_set('nope')
+
+
+class TestSyntheticSpread:
+    """`spread` widens the retouched targets' contrast/saturation
+    distributions along the policy-reachable axes (DIVERSITY.md
+    addendum); spread=0 must stay bit-identical to the historical
+    pack so existing runs/configs remain reproducible."""
+
+    def test_spread_zero_is_bit_identical(self):
+        from exposure_tpu.data.synthetic import make_synthetic_pack
+        a = make_synthetic_pack(64, 48, 'retouched', seed=2)
+        b = make_synthetic_pack(64, 48, 'retouched', seed=2, spread=0.0)
+        assert np.array_equal(a, b)
+
+    def test_spread_widens_contrast_and_saturation(self):
+        from exposure_tpu.data.synthetic import make_synthetic_pack
+        lum_w = np.asarray([0.27, 0.67, 0.06], np.float32)
+
+        def contrast_std(pack):
+            lum = (pack * lum_w).sum(-1)
+            return (2 * lum.std(axis=(1, 2))).std()
+
+        base = make_synthetic_pack(512, 48, 'retouched', seed=2)
+        wide = make_synthetic_pack(512, 48, 'retouched', seed=2,
+                                   spread=1.0)
+        assert contrast_std(wide) > 1.2 * contrast_std(base)
+        assert wide.min() >= 0.0 and wide.max() <= 1.0
+
+    def test_wide_config_loads(self):
+        from exposure_tpu.utils.config import load_config
+        cfg = load_config('synthetic_wide')
+        pack = cfg.real_data_provider().data
+        assert pack.shape[1:] == (64, 64, 3)
