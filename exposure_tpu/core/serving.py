@@ -98,7 +98,11 @@ class RetouchPipeline:
         batch = shape[0]
         quantized = dtype == jnp.uint8
 
-        def fn(gen_params, images, key):
+        def fn(gen_params, images, key, idx):
+            # fold the per-batch counter INSIDE the jit: an eager
+            # fold_in would pay one extra dispatch round trip per batch
+            # on remote-accelerator topologies
+            key = jax.random.fold_in(key, idx)
             if quantized:
                 proxy_src = images.astype(jnp.float32) * (1.0 / 255.0)
             else:
@@ -125,7 +129,8 @@ class RetouchPipeline:
         quantized = dtype == jnp.uint8
         masking = bool(cfg.masking)
 
-        def fn(gen_params, images, key):
+        def fn(gen_params, images, key, idx):
+            key = jax.random.fold_in(key, idx)
             if quantized:
                 proxy_src = images.astype(jnp.float32) * (1.0 / 255.0)
             else:
@@ -158,11 +163,12 @@ class RetouchPipeline:
 
         return jax.jit(fn)
 
-    def _plan_for(self, images, key):
+    def _plan_for(self, images, key, idx=0):
         sig = (images.shape, images.dtype)
         if sig not in self._plan_fns:
             self._plan_fns[sig] = self._plan(images.shape, images.dtype)
-        return self._plan_fns[sig](self.state.gen_params, images, key)
+        return self._plan_fns[sig](self.state.gen_params, images, key,
+                                   idx)
 
     def _replay(self, images, ids, params, mask, device_out=False):
         masking = bool(self.cfg.masking)
@@ -181,7 +187,7 @@ class RetouchPipeline:
         if sig not in self._fns:
             self._fns[sig] = self._build(images.shape, images.dtype)
         return np.asarray(self._fns[sig](self.state.gen_params, images,
-                                         key))
+                                         key, 0))
 
     def map_batches(self, batches, seed=0, depth=8, device_out=False):
         """Retouch a STREAM of equally-shaped batches, deep-pipelined.
@@ -189,12 +195,13 @@ class RetouchPipeline:
         The grouped replay path needs the planned filter ids ON THE HOST
         (to pick the per-signature kernels), which costs one device->
         host round trip — erratic and expensive on remote-accelerator
-        topologies.  This pipeline amortizes it: policy plans run up to
-        ``2*depth`` batches ahead of replay, and the ids of ``depth``
-        plans are read back in ONE stacked fetch, issued while the next
-        ``depth`` batches' plan work (and earlier replays) still occupy
-        the device queue.  Per-batch host cost drops to 1/depth of a
-        round trip plus two async dispatches.
+        topologies.  This pipeline amortizes AND hides it: policy plans
+        run up to ``2*depth`` batches ahead of replay, the ids of
+        ``depth`` plans are stacked and cast to uint8 on device (one
+        compact fetch — 4x fewer bytes through slow links), and the
+        blocking host read runs on a side thread, so replay dispatches
+        and further plans keep flowing underneath the fetch.  Per-batch
+        host cost drops to Python dispatch overhead only.
 
         Adds up to ``2*depth`` batches of latency — a throughput
         pipeline, not a low-latency one.  Yields results in order;
@@ -208,40 +215,59 @@ class RetouchPipeline:
                 yield self(imgs, seed=seed + i)
             return
         import collections
+        from concurrent.futures import ThreadPoolExecutor
         base = jax.random.PRNGKey(seed)
         it = iter(batches)
         planned = collections.deque()  # (imgs, ids_dev, params, mask)
+        pending = collections.deque()  # (ids future, [plan meta] * k)
         ready = collections.deque()    # (imgs, ids_np, params, mask)
         if not hasattr(self, '_stack_fns'):
             self._stack_fns = {}
         i = 0
         exhausted = False
+        fetcher = ThreadPoolExecutor(1)
 
         def flush(k):
-            # ONE stacked tiny fetch for k plans' ids
+            # stack k plans' ids into ONE compact uint8 device array
+            # (filter ids are tiny ints); the blocking host read goes to
+            # the fetch thread — the main thread keeps dispatching
             if k not in self._stack_fns:
                 self._stack_fns[k] = jax.jit(
-                    lambda *xs: jnp.stack(xs))
-            ids_np = np.asarray(
-                self._stack_fns[k](*[p[1] for p in list(planned)[:k]]))
-            for j in range(k):
-                imgs, _, params, mask = planned.popleft()
-                ready.append((imgs, ids_np[j], params, mask))
+                    lambda *xs: jnp.stack(xs).astype(jnp.uint8))
+            stacked = self._stack_fns[k](
+                *[p[1] for p in list(planned)[:k]])
+            meta = [planned.popleft() for _ in range(k)]
+            pending.append((fetcher.submit(np.asarray, stacked), meta))
 
-        while True:
-            while not exhausted and len(planned) < 2 * depth:
-                try:
-                    imgs = jnp.asarray(next(it))
-                except StopIteration:
-                    exhausted = True
-                    break
-                plan = self._plan_for(imgs, jax.random.fold_in(base, i))
-                planned.append((imgs,) + tuple(plan))
-                i += 1
-            if not ready:
-                if not planned:
-                    return
-                flush(min(depth, len(planned)))
-            while ready:
-                yield self._replay(*ready.popleft(),
-                                   device_out=device_out)
+        try:
+            while True:
+                while not exhausted and \
+                        len(planned) + sum(len(m) for _, m in pending) \
+                        < 2 * depth:
+                    try:
+                        imgs = jnp.asarray(next(it))
+                    except StopIteration:
+                        exhausted = True
+                        break
+                    plan = self._plan_for(imgs, base, idx=i)
+                    planned.append((imgs,) + tuple(plan))
+                    i += 1
+                    if len(planned) >= depth:
+                        flush(depth)
+                if not ready:
+                    if pending:
+                        fut, meta = pending.popleft()
+                        ids_np = fut.result().astype(np.int32)
+                        for j, (imgs, _, params, mask) in \
+                                enumerate(meta):
+                            ready.append((imgs, ids_np[j], params,
+                                          mask))
+                    elif planned:
+                        flush(len(planned))
+                    else:
+                        return
+                while ready:
+                    yield self._replay(*ready.popleft(),
+                                       device_out=device_out)
+        finally:
+            fetcher.shutdown(wait=False)

@@ -692,10 +692,19 @@ class GroupedChainRunner:
             act = np.asarray(active_steps)
             ids = np.where(act > 0, ids, len(filters))
         k, b = ids.shape
-        sigs = {}
-        for i in range(b):
-            sigs.setdefault(tuple(int(x) for x in ids[:, i]),
-                            []).append(i)
+        # vectorized grouping (a per-image Python loop costs ~1 ms at
+        # b=512 — real money in the serving hot loop): unique rows give
+        # the signatures, a stable argsort over the inverse map gives
+        # each group's image indices in ascending order — exactly the
+        # dict-of-lists the Python loop used to build
+        cols = np.ascontiguousarray(
+            ids.astype(np.int64, copy=False).T)  # [B, K]
+        uniq, inv = np.unique(cols, axis=0, return_inverse=True)
+        order = np.argsort(inv, kind='stable')
+        bounds = np.searchsorted(inv[order], np.arange(len(uniq) + 1))
+        sigs = {tuple(int(x) for x in uniq[g]):
+                order[bounds[g]:bounds[g + 1]].tolist()
+                for g in range(len(uniq))}
         if len(sigs) > self.max_signatures:
             # signature-diverse batch (e.g. random-walk eval): one jitted
             # switch-kernel call

@@ -113,3 +113,39 @@ def test_map_batches_pipelined(rng):
     outs2 = list(pipe.map_batches(iter(batches), seed=2))
     for a, c in zip(outs, outs2):
         np.testing.assert_array_equal(a, c)
+
+
+def test_map_batches_depth_invariant(rng):
+    # per-batch RNG depends only on (seed, position), so the output
+    # stream must be IDENTICAL whatever the pipeline depth — this is
+    # the ordering/scheduling correctness check for the threaded
+    # stacked-ids fetch (a misordered pending queue would pair batch
+    # i's images with batch j's plan and fail here)
+    cfg = load_config('test')
+    filters, policy, critic, value = build_models(cfg)
+    state, _ = init_train_state(cfg, policy, critic, value, 0)
+    pipe = RetouchPipeline(cfg, state, use_pallas=True, interpret=True,
+                           grouped=True)
+    batches = [(rng.rand(2, 64, 128, 3) * 255).astype(np.uint8)
+               for _ in range(7)]
+    deep = list(pipe.map_batches(iter(batches), seed=3, depth=3))
+    shallow = list(pipe.map_batches(iter(batches), seed=3, depth=1))
+    assert len(deep) == len(shallow) == 7
+    for a, c in zip(deep, shallow):
+        np.testing.assert_array_equal(a, c)
+
+
+def test_map_batches_early_break(rng):
+    # a consumer that stops early must close the generator cleanly
+    # (the fetch thread is shut down by the finally block)
+    cfg = load_config('test')
+    filters, policy, critic, value = build_models(cfg)
+    state, _ = init_train_state(cfg, policy, critic, value, 0)
+    pipe = RetouchPipeline(cfg, state, use_pallas=True, interpret=True,
+                           grouped=True)
+    batches = [(rng.rand(2, 64, 128, 3) * 255).astype(np.uint8)
+               for _ in range(5)]
+    gen = pipe.map_batches(iter(batches), seed=1, depth=2)
+    first = next(gen)
+    assert first.shape == batches[0].shape
+    gen.close()
