@@ -248,7 +248,8 @@ def main():
         # switch-kernel headline.
         import glob
         import os
-        for cand in ('synthetic/final-r2', 'synthetic/parity-seed0',
+        for cand in ('synthetic/final-r3', 'synthetic/final-r2',
+                     'synthetic/parity-seed0',
                      'synthetic_wide/parity-seed0'):
             if glob.glob(os.path.join('models', cand, 'model.ckpt-*')):
                 run = cand
