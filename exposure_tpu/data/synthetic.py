@@ -23,6 +23,34 @@ def _smooth_field(rng, n, size, channels=3, octaves=3):
     return img
 
 
+def _texture_field(rng, n, size):
+    """Zero-mean high-frequency detail with a smooth local-amplitude
+    envelope (real surfaces: some regions matte, some detailed).
+    Luminance-shared across channels — texture is structure, not
+    chroma noise."""
+    fine = rng.rand(n, size, size, 1).astype(np.float32) - 0.5
+    s2 = max(size // 2, 1)
+    block = rng.rand(n, s2, s2, 1).astype(np.float32) - 0.5
+    r = size // s2
+    block = np.repeat(np.repeat(block, r, axis=1), r, axis=2)
+    amp = _smooth_field(rng, n, size, channels=1, octaves=2)
+    return (0.6 * fine + 0.4 * block[:, :size, :size]) * \
+        (0.3 + 0.7 * amp)
+
+
+def _soft_clip(x, knee=0.85):
+    """Smooth tone compression: identity in the midtones, tanh knees at
+    both ends.  Monotone with strictly positive slope, so compressed
+    patches KEEP their texture — unlike ``np.clip``, which manufactures
+    exactly-flat saturated patches.  Artist-target stand-ins use this
+    (real retouchers roll highlights off; they do not clip them)."""
+    lo = 1.0 - knee
+    top = knee + lo * np.tanh((x - knee) / lo)
+    x = np.where(x > knee, top, x)
+    bot = lo - lo * np.tanh((lo - x) / lo)
+    return np.where(x < lo, bot, x).astype(np.float32)
+
+
 def _contrast_remap(img, strength):
     """Per-image cosine luminance contrast remap — numpy twin of the Ct
     filter's transform (ops/filters.py ContrastFilter.process, reference
@@ -36,7 +64,7 @@ def _contrast_remap(img, strength):
 
 
 def make_synthetic_pack(n=256, size=80, style='raw', seed=0, cast=0.0,
-                        spread=0.0):
+                        spread=0.0, texture=0.0):
     """Like a real photo collection, every per-image adjustment is drawn
     from a RANGE, so the set's luminance/contrast/saturation statistics
     form broad distributions — a retouching policy gets partial credit
@@ -60,9 +88,28 @@ def make_synthetic_pack(n=256, size=80, style='raw', seed=0, cast=0.0,
     same remap the ContrastFilter applies), widens the chroma boost to
     [0.8, 2.3] and the tone gamma to [0.45, 1.1].  RNG draws happen
     AFTER the spread=0 draws, so spread=0 stays bit-identical to the
-    historical pack."""
+    historical pack.
+
+    ``texture`` > 0 adds the STRUCTURAL-REALISM pressure the smooth
+    fields lack (DIVERSITY.md addendum 2): luminance-correlated
+    high-frequency detail (multiplicative, ±15%·texture) on both
+    styles, and 'retouched' targets switch from hard ``np.clip`` to a
+    soft tanh-knee tone compressor — so NO target patch is ever
+    clipped flat.  A policy that applies the aggressive cosine
+    contrast remap uniformly then produces blown-flat highlight /
+    blocked-flat shadow patches that appear in no target patch,
+    giving the convolutional WGAN critic the per-patch (not merely
+    distributional) separating signal real artist sets provide.
+    Texture draws use an independent RNG stream, so texture=0 stays
+    bit-identical to the historical pack."""
     rng = np.random.RandomState(seed)
     img = _smooth_field(rng, n, size)
+    if texture > 0:
+        trng = np.random.RandomState((seed + 1) * 7919)
+        tex = _texture_field(trng, n, size)
+        img = np.clip(img * (1.0 + 0.3 * texture * tex), 0.0, 1.0)
+    clip = _soft_clip if texture > 0 else \
+        (lambda x: np.clip(x, 0.0, 1.0))
     if style == 'raw':
         # dark, washed out, like an un-toned linear RAW
         img = img ** 2.2 * rng.uniform(0.15, 0.45, (n, 1, 1, 1))
@@ -79,11 +126,11 @@ def make_synthetic_pack(n=256, size=80, style='raw', seed=0, cast=0.0,
             img = img * scale
     elif style == 'retouched':
         # bright, contrasty, saturated — with artist-like variation
-        img = np.clip(img * rng.uniform(1.0, 1.4, (n, 1, 1, 1)), 0, 1) \
+        img = clip(img * rng.uniform(1.0, 1.4, (n, 1, 1, 1))) \
             ** rng.uniform(0.55, 1.0, (n, 1, 1, 1))
         gray = img.mean(axis=3, keepdims=True)
         boost = rng.uniform(1.1, 2.0, (n, 1, 1, 1)).astype(np.float32)
-        img = np.clip(gray + boost * (img - gray), 0, 1)
+        img = clip(gray + boost * (img - gray))
         if spread > 0:
             # widen tone: extra per-image gamma, effective range
             # ~[0.45, 1.18] at spread=1 (base draw is [0.55, 1.0])
@@ -108,9 +155,9 @@ def make_synthetic_pack(n=256, size=80, style='raw', seed=0, cast=0.0,
 class SyntheticDataProvider(DataProvider):
 
     def __init__(self, n=256, size=80, style='raw', seed=0, cast=0.0,
-                 spread=0.0, *args, **kwargs):
+                 spread=0.0, texture=0.0, *args, **kwargs):
         data = make_synthetic_pack(n, size, style, seed, cast=cast,
-                                   spread=spread)
+                                   spread=spread, texture=texture)
         super().__init__(data, *args, **kwargs)
 
 

@@ -147,3 +147,52 @@ class TestSyntheticSpread:
         cfg = load_config('synthetic_wide')
         pack = cfg.real_data_provider().data
         assert pack.shape[1:] == (64, 64, 3)
+
+
+class TestSyntheticTexture:
+    """`texture` adds the structural-realism pressure smooth fields
+    lack (DIVERSITY.md addendum 2): high-frequency detail plus
+    soft-knee (never-flat) target tone compression.  texture=0 must
+    stay bit-identical to the historical pack."""
+
+    def test_texture_zero_is_bit_identical(self):
+        from exposure_tpu.data.synthetic import make_synthetic_pack
+        for style in ('raw', 'retouched'):
+            a = make_synthetic_pack(32, 48, style, seed=2)
+            b = make_synthetic_pack(32, 48, style, seed=2, texture=0.0)
+            assert np.array_equal(a, b)
+
+    def test_textured_targets_never_clip_flat(self):
+        from exposure_tpu.data.synthetic import make_synthetic_pack
+        t = make_synthetic_pack(64, 80, 'retouched', seed=2,
+                                texture=1.0)
+        # the soft tanh knee never saturates...
+        assert t.min() > 0.0 and t.max() < 1.0
+        # ...and every bright 4x4 patch keeps texture (hard-clip packs
+        # would manufacture exactly-flat saturated patches)
+        lum_w = np.asarray([0.27, 0.67, 0.06], np.float32)
+        lum = (t * lum_w).sum(-1)
+        p = lum.reshape(64, 20, 4, 20, 4).transpose(
+            0, 1, 3, 2, 4).reshape(-1, 16)
+        hi = p.mean(-1) > 0.8
+        assert hi.any()
+        assert p.std(-1)[hi].min() > 5e-4
+
+    def test_texture_is_bounded_multiplicative_detail(self):
+        # base RNG streams are untouched, so the raw packs are aligned
+        # image-for-image and the knob shows up as a bounded
+        # multiplicative perturbation (±15% pre-gamma)
+        from exposure_tpu.data.synthetic import make_synthetic_pack
+        base = make_synthetic_pack(32, 48, 'raw', seed=0)
+        tex = make_synthetic_pack(32, 48, 'raw', seed=0, texture=1.0)
+        ratio = tex / np.maximum(base, 1e-4)
+        assert 0.5 < ratio.min() and ratio.max() < 1.6
+        # it genuinely adds per-image detail, not a global rescale
+        assert ratio.std(axis=(1, 2, 3)).min() > 0.01
+
+    def test_tex_config_loads(self):
+        from exposure_tpu.utils.config import load_config
+        cfg = load_config('synthetic_tex')
+        pack = cfg.real_data_provider().data
+        assert pack.shape[1:] == (64, 64, 3)
+        assert pack.max() < 1.0
