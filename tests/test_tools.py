@@ -172,3 +172,39 @@ class TestValidateParity:
         assert s['intersection_after']['contrast']['std'] == \
             pytest.approx(0.1)
         assert s['avg_after_mean'] == pytest.approx(0.4834, abs=1e-3)
+
+
+class TestProbeCriticFamily:
+    def test_probe_two_runs(self, tmp_path, monkeypatch):
+        import json
+        import sys
+
+        from exposure_tpu.core.checkpoint import save_checkpoint
+        from exposure_tpu.core.trainer import (
+            build_models,
+            init_train_state,
+        )
+        from exposure_tpu.utils import load_config
+
+        cfg = load_config('test')
+        filters, policy, critic, value = build_models(cfg)
+        state, _ = init_train_state(cfg, policy, critic, value, 0)
+        for run in ('run_a', 'run_b'):
+            save_checkpoint(str(tmp_path / 'test' / run), state, 1)
+
+        from exposure_tpu.tools import probe_critic_family as pcf
+        out = tmp_path / 'probe.json'
+        monkeypatch.setattr(sys, 'argv', [
+            'prog', '--runs', 'test/run_a', 'test/run_b',
+            '--n', '4', '--model-root', str(tmp_path),
+            '--out', str(out)])
+        pcf.main()
+        d = json.loads(out.read_text())
+        m = d['critic_score_matrix']
+        assert set(m) == {'critic:test/run_a', 'critic:test/run_b'}
+        row = m['critic:test/run_a']
+        assert {'targets', 'inputs', 'out:test/run_a',
+                'out:test/run_b'} <= set(row)
+        # identical checkpoints -> identical outputs -> identical scores
+        assert row['out:test/run_a'] == row['out:test/run_b']
+        assert d['patch_profiles']['targets']['flat_frac'] is not None
