@@ -129,6 +129,23 @@ def main():
               % (run, row['targets']['mean'], own,
                  {k.split('/')[-1]: v for k, v in others.items()}))
 
+    # critic-consensus ranking: average each policy's rank across ALL
+    # runs' critics (rank 1 = scored most real).  Measured on the
+    # synthetic_tex campaign this reproduces the ground-truth
+    # histogram-intersection ordering exactly (CRITIC_PROBE.json vs
+    # PARITY_TEX.json, Spearman 1.0) — an UNSUPERVISED model selector:
+    # train N seeds, keep the consensus winner, no targets needed at
+    # selection time.
+    out_names = ['out:' + r for r in args.runs]
+    mean_rank = {n: 0.0 for n in out_names}
+    for row in matrix.values():
+        ordered = sorted(out_names, key=lambda n: -row[n]['mean'])
+        for rank, n in enumerate(ordered, 1):
+            mean_rank[n] += rank / len(matrix)
+    consensus = sorted(out_names, key=lambda n: mean_rank[n])
+    print('# consensus ranking (most real first): %s'
+          % [n.split('/')[-1] for n in consensus])
+
     profiles = {name: patch_profile(imgs)
                 for name, imgs in candidates.items()}
 
@@ -137,6 +154,9 @@ def main():
         'n_eval': args.n,
         'filter_usage': dict(zip(args.runs, labels)),
         'critic_score_matrix': matrix,
+        'consensus_ranking': consensus,
+        'consensus_mean_rank': {n: round(v, 3)
+                                for n, v in mean_rank.items()},
         'patch_profiles': profiles,
         'reading': 'higher critic logit = more real (critic_loss '
                    'minimizes mean(fake)-mean(real)); if a critic '

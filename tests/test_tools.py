@@ -208,3 +208,5 @@ class TestProbeCriticFamily:
         # identical checkpoints -> identical outputs -> identical scores
         assert row['out:test/run_a'] == row['out:test/run_b']
         assert d['patch_profiles']['targets']['flat_frac'] is not None
+        assert sorted(d['consensus_ranking']) == \
+            sorted(['out:test/run_a', 'out:test/run_b'])
