@@ -50,6 +50,26 @@ from exposure_tpu.utils.config import load_config
 LUM_W = np.asarray([0.27, 0.67, 0.06], np.float32)
 
 
+def consensus_ranking(matrix, out_names):
+    """Rank candidate output sets by mean rank across ALL critics.
+
+    ``matrix`` maps critic name -> {candidate name: {'mean': logit}};
+    rank 1 = scored most real by that critic.  Returns (ranking,
+    mean_rank) with the ranking most-real-first.  Measured property
+    (CRITIC_PROBE.json vs PARITY_TEX.json, CRITIC_PROBE_EXPLORE.json):
+    within a same-config seed pool this reproduces the ground-truth
+    histogram-intersection ordering exactly (Spearman 1.0) — an
+    unsupervised model selector needing no targets at selection time.
+    """
+    mean_rank = {n: 0.0 for n in out_names}
+    for row in matrix.values():
+        ordered = sorted(out_names, key=lambda n: -row[n]['mean'])
+        for rank, n in enumerate(ordered, 1):
+            mean_rank[n] += rank / len(matrix)
+    ranking = sorted(out_names, key=lambda n: mean_rank[n])
+    return ranking, mean_rank
+
+
 def patch_profile(images, patch=4):
     """Median 4x4 luminance-patch std per patch-mean bin + dark-patch
     fraction — the per-patch statistics that separate an
@@ -129,20 +149,8 @@ def main():
               % (run, row['targets']['mean'], own,
                  {k.split('/')[-1]: v for k, v in others.items()}))
 
-    # critic-consensus ranking: average each policy's rank across ALL
-    # runs' critics (rank 1 = scored most real).  Measured on the
-    # synthetic_tex campaign this reproduces the ground-truth
-    # histogram-intersection ordering exactly (CRITIC_PROBE.json vs
-    # PARITY_TEX.json, Spearman 1.0) — an UNSUPERVISED model selector:
-    # train N seeds, keep the consensus winner, no targets needed at
-    # selection time.
     out_names = ['out:' + r for r in args.runs]
-    mean_rank = {n: 0.0 for n in out_names}
-    for row in matrix.values():
-        ordered = sorted(out_names, key=lambda n: -row[n]['mean'])
-        for rank, n in enumerate(ordered, 1):
-            mean_rank[n] += rank / len(matrix)
-    consensus = sorted(out_names, key=lambda n: mean_rank[n])
+    consensus, mean_rank = consensus_ranking(matrix, out_names)
     print('# consensus ranking (most real first): %s'
           % [n.split('/')[-1] for n in consensus])
 

@@ -1,0 +1,125 @@
+"""Unsupervised model selection by critic consensus.
+
+The round-3 quality campaigns established (CRITIC_PROBE.json,
+CRITIC_PROBE_EXPLORE.json) that ranking N trained seeds by the MEAN
+RANK their outputs receive across all N runs' critics reproduces the
+ground-truth histogram-intersection quality ordering exactly within a
+same-config pool (Spearman 1.0; ~0.76 across mixed configs) — i.e. the
+WGAN critics collectively already know which policy is best, even
+though no single run's reward told its generator so.  That turns the
+"train N seeds, keep the best" workflow into a fully unsupervised one:
+no retouched targets are needed at selection time, only the candidate
+checkpoints themselves.
+
+This tool runs that selection end-to-end:
+
+1. restore every candidate run's full train state;
+2. retouch the SAME held-out inputs with each policy (critic-native
+   64 px resolution);
+3. score every candidate's outputs with every candidate's critic;
+4. rank by consensus (``probe_critic_family.consensus_ranking``) and
+   report the winner; ``--promote NAME`` symlinks
+   ``models/<config>/NAME`` at the winning run so downstream CLIs
+   (evaluate.py, bench.py --run) can address it stably.
+
+Usage:
+  python -m exposure_tpu.tools.select_policy \
+      --config synthetic_explore --runs parity-seed0 parity-seed1 ... \
+      [--n 256] [--out SELECT.json] [--promote best]
+
+Reference anchor: the reference ships ONE pretrained model per config
+chosen by its authors with held-out targets (README.md "pretrained
+models"); this tool produces that artifact without targets, using the
+critics the training run already paid for.
+"""
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from exposure_tpu.core.evaluator import Evaluator
+from exposure_tpu.tools.probe_critic_family import consensus_ranking
+from exposure_tpu.utils.config import load_config
+
+
+def score_matrix(runs, evs, outputs):
+    """Every run's critic on every run's outputs -> nested mean/std."""
+    matrix = {}
+    for run, ev in zip(runs, evs):
+        score = jax.jit(lambda p, x, critic=ev.critic: critic.apply(p, x))
+        row = {}
+        for name, imgs in outputs.items():
+            logits = np.asarray(score(ev.state.crit_params,
+                                      jnp.asarray(imgs)))
+            row[name] = {'mean': round(float(logits.mean()), 4),
+                         'std': round(float(logits.std()), 4)}
+        matrix['critic:' + run] = row
+    return matrix
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--config', required=True)
+    ap.add_argument('--runs', nargs='+', required=True,
+                    help='run names under models/<config>/')
+    ap.add_argument('--n', type=int, default=256)
+    ap.add_argument('--model-root', default='models')
+    ap.add_argument('--out', default='SELECT.json')
+    ap.add_argument('--promote', default=None,
+                    help='symlink models/<config>/<PROMOTE> -> winner')
+    args = ap.parse_args()
+
+    cfg0 = load_config(args.config)
+    inputs, _ = cfg0.fake_data_provider_test().get_next_batch(args.n)
+    inputs = np.clip(inputs, 0.0, 1.0).astype(np.float32)
+
+    evs, outputs = [], {}
+    for run in args.runs:
+        cfg = load_config(args.config)
+        cfg.name = '%s/%s' % (args.config, run)
+        ev = Evaluator(cfg, model_root=args.model_root)
+        traj, _ = ev.plan_trajectory(inputs, jax.random.PRNGKey(0))
+        outputs['out:' + run] = np.clip(ev.retouch(inputs, traj), 0.0, 1.0)
+        evs.append(ev)
+
+    matrix = score_matrix(args.runs, evs, outputs)
+    out_names = ['out:' + r for r in args.runs]
+    ranking, mean_rank = consensus_ranking(matrix, out_names)
+    winner = ranking[0][len('out:'):]
+    print('# consensus ranking (most real first): %s'
+          % [n[len('out:'):] for n in ranking])
+    print('# winner: %s/%s' % (args.config, winner))
+
+    result = {
+        'config': args.config,
+        'runs': args.runs,
+        'n_eval': args.n,
+        'critic_score_matrix': matrix,
+        'consensus_ranking': ranking,
+        'consensus_mean_rank': {n: round(v, 3)
+                                for n, v in mean_rank.items()},
+        'winner': winner,
+    }
+
+    if args.promote:
+        link = os.path.join(args.model_root, args.config, args.promote)
+        target = winner  # relative: same directory level
+        if os.path.islink(link):
+            os.unlink(link)
+        elif os.path.exists(link):
+            raise SystemExit('refusing to replace non-symlink %s' % link)
+        os.symlink(target, link)
+        result['promoted'] = link
+        print('# promoted: %s -> %s' % (link, target))
+
+    with open(args.out, 'w') as f:
+        json.dump(result, f, indent=1)
+    print('# wrote %s' % args.out)
+
+
+if __name__ == '__main__':
+    main()

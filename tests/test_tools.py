@@ -210,3 +210,55 @@ class TestProbeCriticFamily:
         assert d['patch_profiles']['targets']['flat_frac'] is not None
         assert sorted(d['consensus_ranking']) == \
             sorted(['out:test/run_a', 'out:test/run_b'])
+
+
+class TestSelectPolicy:
+    def test_consensus_ranking_math(self):
+        from exposure_tpu.tools.probe_critic_family import consensus_ranking
+
+        names = ['out:a', 'out:b', 'out:c']
+        matrix = {
+            # critic 1: b > a > c ; critic 2: b > c > a ; critic 3: b > a > c
+            'c1': {'out:a': {'mean': 0.5}, 'out:b': {'mean': 1.0},
+                   'out:c': {'mean': 0.1}},
+            'c2': {'out:a': {'mean': -1.0}, 'out:b': {'mean': 2.0},
+                   'out:c': {'mean': 0.0}},
+            'c3': {'out:a': {'mean': 3.0}, 'out:b': {'mean': 4.0},
+                   'out:c': {'mean': 2.0}},
+        }
+        ranking, mean_rank = consensus_ranking(matrix, names)
+        assert ranking[0] == 'out:b'
+        assert ranking[-1] == 'out:c'
+        assert mean_rank['out:b'] == pytest.approx(1.0)
+        assert mean_rank['out:a'] == pytest.approx((2 + 3 + 2) / 3)
+
+    def test_select_end_to_end_with_promote(self, tmp_path, monkeypatch):
+        import sys
+
+        from exposure_tpu.core.checkpoint import save_checkpoint
+        from exposure_tpu.core.trainer import build_models, init_train_state
+        from exposure_tpu.utils import load_config
+
+        cfg = load_config('test')
+        filters, policy, critic, value = build_models(cfg)
+        state, _ = init_train_state(cfg, policy, critic, value, 0)
+        for run in ('seed0', 'seed1'):
+            save_checkpoint(str(tmp_path / 'test' / run), state, 1)
+
+        from exposure_tpu.tools import select_policy as sp
+        out = tmp_path / 'select.json'
+        monkeypatch.setattr(sys, 'argv', [
+            'prog', '--config', 'test', '--runs', 'seed0', 'seed1',
+            '--n', '4', '--model-root', str(tmp_path),
+            '--out', str(out), '--promote', 'best'])
+        sp.main()
+        d = json.loads(out.read_text())
+        assert d['winner'] in ('seed0', 'seed1')
+        link = tmp_path / 'test' / 'best'
+        assert link.is_symlink()
+        assert os.readlink(link) == d['winner']
+        # promoted run restores through the symlink like a normal run
+        from exposure_tpu.core.evaluator import Evaluator
+        cfg2 = load_config('test')
+        cfg2.name = 'test/best'
+        Evaluator(cfg2, model_root=str(tmp_path))
