@@ -248,7 +248,12 @@ def main():
         # switch-kernel headline.
         import glob
         import os
-        for cand in ('synthetic/final-r3', 'synthetic/final-r2',
+        # synthetic_explore/best is the consensus-promoted winner of the
+        # exploration-fix seed campaign (tools/select_policy.py) — the
+        # canonical flagship checkpoint from round 3 on.
+        for cand in ('synthetic_explore/best',
+                     'synthetic_explore/parity-seed0',
+                     'synthetic/final-r3', 'synthetic/final-r2',
                      'synthetic/parity-seed0',
                      'synthetic_wide/parity-seed0'):
             if glob.glob(os.path.join('models', cand, 'model.ckpt-*')):

@@ -71,6 +71,10 @@ def main():
     ap.add_argument('--out', default='SELECT.json')
     ap.add_argument('--promote', default=None,
                     help='symlink models/<config>/<PROMOTE> -> winner')
+    ap.add_argument('--truth', default=None,
+                    help='a validate_parity JSON covering the same runs: '
+                         'cross-check the consensus ranking against the '
+                         'measured quality ordering (Spearman)')
     args = ap.parse_args()
 
     cfg0 = load_config(args.config)
@@ -104,6 +108,26 @@ def main():
                                 for n, v in mean_rank.items()},
         'winner': winner,
     }
+
+    if args.truth:
+        with open(args.truth) as f:
+            truth = json.load(f)
+        entries = truth['runs'] if isinstance(truth, dict) else truth
+        quality = {e['run'].split('/', 1)[1]: e['quality']['avg_after']
+                   for e in entries
+                   if e['run'].split('/', 1)[0] == args.config}
+        common = [r for r in args.runs if r in quality]
+        if len(common) >= 2:
+            cons = np.argsort(np.argsort(
+                [mean_rank['out:' + r] for r in common]))
+            true = np.argsort(np.argsort(
+                [-quality[r] for r in common]))
+            rho = float(np.corrcoef(cons, true)[0, 1])
+            result['truth_quality'] = {r: quality[r] for r in common}
+            result['spearman_vs_truth'] = round(rho, 4)
+            result['truth_winner'] = max(common, key=lambda r: quality[r])
+            print('# consensus vs measured quality: Spearman %.3f '
+                  '(truth winner: %s)' % (rho, result['truth_winner']))
 
     if args.promote:
         link = os.path.join(args.model_root, args.config, args.promote)

@@ -245,15 +245,26 @@ class TestSelectPolicy:
         for run in ('seed0', 'seed1'):
             save_checkpoint(str(tmp_path / 'test' / run), state, 1)
 
+        truth = tmp_path / 'parity.json'
+        truth.write_text(json.dumps({'runs': [
+            {'run': 'test/seed0', 'quality': {'avg_after': 0.4}},
+            {'run': 'test/seed1', 'quality': {'avg_after': 0.6}},
+        ]}))
+
         from exposure_tpu.tools import select_policy as sp
         out = tmp_path / 'select.json'
         monkeypatch.setattr(sys, 'argv', [
             'prog', '--config', 'test', '--runs', 'seed0', 'seed1',
             '--n', '4', '--model-root', str(tmp_path),
-            '--out', str(out), '--promote', 'best'])
+            '--out', str(out), '--promote', 'best',
+            '--truth', str(truth)])
         sp.main()
         d = json.loads(out.read_text())
         assert d['winner'] in ('seed0', 'seed1')
+        # identical checkpoints -> tied consensus (stable order seed0,
+        # seed1); the declared truth winner is seed1, so Spearman = -1
+        assert d['truth_winner'] == 'seed1'
+        assert d['spearman_vs_truth'] == pytest.approx(-1.0)
         link = tmp_path / 'test' / 'best'
         assert link.is_symlink()
         assert os.readlink(link) == d['winner']
