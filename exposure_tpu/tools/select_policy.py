@@ -11,6 +11,17 @@ though no single run's reward told its generator so.  That turns the
 no retouched targets are needed at selection time, only the candidate
 checkpoints themselves.
 
+SCOPE (measured, round 3): the consensus signal separates POLICY
+FAMILIES — it reliably flags seeds locked into the inferior
+Ct-everywhere optimum (the variance mode that motivated it).  On a
+post-exploration-fix pool where all seeds land in the SAME high-quality
+family, the fine within-family ordering is NOT recovered
+(SELECT.json on the `synthetic_explore` campaign: Spearman −0.70 vs
+measured quality; the critics' residual preferences no longer track
+the histogram metric once the family gap is gone).  Use consensus to
+reject locked-in seeds; use ``--truth`` + ``--promote-by truth`` when
+a target set exists and candidates are within one family.
+
 This tool runs that selection end-to-end:
 
 1. restore every candidate run's full train state;
@@ -75,7 +86,14 @@ def main():
                     help='a validate_parity JSON covering the same runs: '
                          'cross-check the consensus ranking against the '
                          'measured quality ordering (Spearman)')
+    ap.add_argument('--promote-by', choices=('consensus', 'truth'),
+                    default='consensus',
+                    help='which winner --promote points at (truth '
+                         'requires --truth; use it for within-family '
+                         'pools, see module docstring)')
     args = ap.parse_args()
+    if args.promote_by == 'truth' and not args.truth:
+        ap.error('--promote-by truth requires --truth')
 
     cfg0 = load_config(args.config)
     inputs, _ = cfg0.fake_data_provider_test().get_next_batch(args.n)
@@ -130,8 +148,14 @@ def main():
                   '(truth winner: %s)' % (rho, result['truth_winner']))
 
     if args.promote:
+        if args.promote_by == 'truth':
+            if 'truth_winner' not in result:
+                raise SystemExit('--promote-by truth: no overlapping '
+                                 'runs found in %s' % args.truth)
+            target = result['truth_winner']
+        else:
+            target = winner  # relative: same directory level
         link = os.path.join(args.model_root, args.config, args.promote)
-        target = winner  # relative: same directory level
         if os.path.islink(link):
             os.unlink(link)
         elif os.path.exists(link):

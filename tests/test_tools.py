@@ -273,3 +273,12 @@ class TestSelectPolicy:
         cfg2 = load_config('test')
         cfg2.name = 'test/best'
         Evaluator(cfg2, model_root=str(tmp_path))
+
+        # --promote-by truth repoints the symlink at the measured winner
+        monkeypatch.setattr(sys, 'argv', [
+            'prog', '--config', 'test', '--runs', 'seed0', 'seed1',
+            '--n', '4', '--model-root', str(tmp_path),
+            '--out', str(out), '--promote', 'best',
+            '--truth', str(truth), '--promote-by', 'truth'])
+        sp.main()
+        assert os.readlink(tmp_path / 'test' / 'best') == 'seed1'
