@@ -87,9 +87,9 @@ def build_pipeline(batch, res, mode='grouped', u8=True, run=None,
     filters, policy, critic, value = build_models(cfg)
     state, _ = init_train_state(cfg, policy, critic, value, seed=0)
     if run:
-        import os
-        state, step = restore_checkpoint(os.path.join('models', run), state)
-        print('# bench: restored %s at step %d' % (run, step),
+        from exposure_tpu.core.artifacts import restore_for_serving
+        state, step, src = restore_for_serving(run, state)
+        print('# bench: restored %s at step %d (%s)' % (run, step, src),
               file=sys.stderr)
 
     def plan(gen_params, images, key):
@@ -174,9 +174,9 @@ def bench_stream(batch, res, u8=True, run=None, bf16=False,
     filters, policy, critic, value = build_models(cfg)
     state, _ = init_train_state(cfg, policy, critic, value, seed=0)
     if run:
-        state, step = restore_checkpoint(os.path.join('models', run),
-                                         state)
-        print('# bench: restored %s at step %d' % (run, step),
+        from exposure_tpu.core.artifacts import restore_for_serving
+        state, step, src = restore_for_serving(run, state)
+        print('# bench: restored %s at step %d (%s)' % (run, step, src),
               file=sys.stderr)
     pipe = RetouchPipeline(cfg, state, bf16=bf16, fast_math=fast_math,
                            grouped=True, fused_set_limit=0)
@@ -246,17 +246,20 @@ def main():
         # honest best number; 10.8k img/s/chip round 3).  Fresh
         # checkouts without a checkpoint keep the run-independent
         # switch-kernel headline.
-        import glob
-        import os
+        from exposure_tpu.core.artifacts import has_trained_params
         # synthetic_explore/best is the consensus-promoted winner of the
         # exploration-fix seed campaign (tools/select_policy.py) — the
-        # canonical flagship checkpoint from round 3 on.
+        # canonical flagship checkpoint from round 3 on.  Trained params
+        # come from models/ when present, else from the git-tracked
+        # serving artifact (core/artifacts.py) so fresh checkouts keep
+        # the trained headline.
         for cand in ('synthetic_explore/best',
+                     'synthetic_explore/parity-seed2',
                      'synthetic_explore/parity-seed0',
                      'synthetic/final-r3', 'synthetic/final-r2',
                      'synthetic/parity-seed0',
                      'synthetic_wide/parity-seed0'):
-            if glob.glob(os.path.join('models', cand, 'model.ckpt-*')):
+            if has_trained_params(cand):
                 run = cand
                 sys.argv += ['--stream', '--bf16']
                 print('# bench: defaulting to trained stream headline '

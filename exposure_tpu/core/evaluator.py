@@ -69,8 +69,17 @@ class Evaluator:
         if state is None:
             state, _ = init_train_state(cfg, self.policy, self.critic,
                                         self.value, cfg.get('seed', 0))
-            state, step = restore_checkpoint(self.dir, state, ckpt)
-            print('# restored %s at step %d' % (self.dir, step))
+            if ckpt is not None:
+                state, step = restore_checkpoint(self.dir, state, ckpt)
+                src = 'checkpoint'
+            else:
+                # fall back to the git-tracked serving artifact when the
+                # (untracked) checkpoint directory is gone — evaluation
+                # only needs gen_params (core/artifacts.py)
+                from exposure_tpu.core.artifacts import restore_for_serving
+                state, step, src = restore_for_serving(
+                    cfg.name, state, model_root=model_root)
+            print('# restored %s at step %d (%s)' % (self.dir, step, src))
         self.state = state
         self._rollout = jax.jit(
             lambda params, imgs, key: rollout(

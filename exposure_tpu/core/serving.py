@@ -88,8 +88,16 @@ class RetouchPipeline:
         state, _ = init_train_state(cfg, policy, critic, value,
                                     cfg.get('seed', 0))
         import os
-        state, step = restore_checkpoint(
-            os.path.join(model_root, cfg.name), state, ckpt)
+        if ckpt is not None:
+            state, step = restore_checkpoint(
+                os.path.join(model_root, cfg.name), state, ckpt)
+        else:
+            # checkpoint when present, git-tracked serving artifact
+            # otherwise (core/artifacts.py) — fresh checkouts keep
+            # trained serving without the ~100 MB untracked checkpoints
+            from exposure_tpu.core.artifacts import restore_for_serving
+            state, step, _ = restore_for_serving(
+                cfg.name, state, model_root=model_root)
         return cls(cfg, state, **kwargs)
 
     # -- trajectory planning (shared by both replay paths) ---------------

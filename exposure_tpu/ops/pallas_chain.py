@@ -631,15 +631,25 @@ class GroupedChainRunner:
                 lambda: jnp.zeros(shape, dtype))
         return self._fns[key]
 
-    def _acc_fn(self, sig, size, res_shape, dtype, masked):
+    def _acc_fn(self, sig, size, res_shape, dtype, masked,
+                creates=False):
         """Per-group gather -> static chain -> scatter-accumulate into a
         DONATED output buffer.  Cached by (signature, bucketed size) —
         reused across whatever signature SETS batches produce, unlike
         ``_multi_fn`` whose cache key is the whole set."""
         key = ('acc', sig, size, res_shape, jnp.dtype(dtype).name,
-               masked)
+               masked, creates)
         if key not in self._fns:
-            def fn(out, img, params, mask, ix, n_g):
+            def fn(*args):
+                if creates:
+                    # first-group variant: allocate the zeroed output
+                    # INSIDE the program (XLA fuses zeros into the
+                    # scatter) — one fewer dispatch per batch than a
+                    # standalone zeros call
+                    img, params, mask, ix, n_g = args
+                    out = jnp.zeros(img.shape, img.dtype)
+                else:
+                    out, img, params, mask, ix, n_g = args
                 sub_img = jnp.take(img, ix, axis=0)
                 sub_p = jnp.take(params, ix, axis=1)
                 sub_m = jnp.take(mask, ix, axis=1) if masked else None
@@ -653,7 +663,8 @@ class GroupedChainRunner:
                                     out.shape[0])
                 return out.at[drop_ix].set(res, mode='drop')
 
-            self._fns[key] = jax.jit(fn, donate_argnums=(0,))
+            self._fns[key] = jax.jit(
+                fn, donate_argnums=() if creates else (0,))
         return self._fns[key]
 
     def _merge_fn(self, size, k, res_shape, dtype, masked):
@@ -779,14 +790,16 @@ class GroupedChainRunner:
         if len(small) == 1:  # a lone small group: its own kernel is
             big.append(small[0])  # cheaper than the every-branch switch
             small = []
-        out = self._zeros_fn(img.shape, img.dtype)()
+        out = None
         for sig, idxs in big:
             n = len(idxs)
             size = _bucket_size(n)
             ix = np.asarray(idxs + [idxs[0]] * (size - n), np.int32)
-            fn = self._acc_fn(sig, size, res_shape, img.dtype, masking)
-            out = fn(out, img, packed_params, mask_arg,
-                     jnp.asarray(ix), np.int32(n))
+            fn = self._acc_fn(sig, size, res_shape, img.dtype, masking,
+                              creates=out is None)
+            args = (img, packed_params, mask_arg, jnp.asarray(ix),
+                    np.int32(n))
+            out = fn(*args) if out is None else fn(out, *args)
         if small:
             idxs = [i for _, ix_l in small for i in ix_l]
             n = len(idxs)
@@ -795,6 +808,10 @@ class GroupedChainRunner:
             ix = np.asarray(pad, np.int32)
             sub_ids = ids[:, ix].astype(np.int32)  # [K, size] host-side
             fn = self._merge_fn(size, k, res_shape, img.dtype, masking)
+            if out is None:
+                # >=2 small groups and no big one: merge still needs a
+                # buffer to scatter into
+                out = self._zeros_fn(img.shape, img.dtype)()
             out = fn(out, img, packed_params, mask_arg, jnp.asarray(ix),
                      jnp.asarray(sub_ids), np.int32(n))
         return out
