@@ -36,3 +36,47 @@ assert jax.devices()[0].platform == "cpu", (
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
+
+
+# ---------------------------------------------------------------------------
+# slow tier: the full suite takes ~15-17 min on the 1-vCPU testbed
+# (module-scoped compile fixtures dominate); `pytest -m "not slow"` is the
+# <5-min developer loop.  Membership = measured >~10 s per test (or a
+# whole module when its fixture is the cost) — re-derive with
+# `pytest --durations=60` when it drifts.
+# ---------------------------------------------------------------------------
+
+_SLOW_NODES = (
+    "test_graft_entry.py::test_dryrun_multichip_8",
+    "test_e2e.py",
+    "test_masking.py",
+    "test_streaming.py",
+    "test_streaming_trainer.py",
+    "test_supervised.py",
+    "test_train_step.py::test_fused_iterations_match_sequential",
+    "test_train_step.py::test_pool_advances_and_terminates",
+    "test_losses.py::TestGeneratorValueLoss::test_gradient_partitioning",
+    "test_losses.py::TestCriticLoss::test_critic_grads_flow",
+    "test_data.py::TestSyntheticSpread",
+    "test_data.py::TestSyntheticTexture",
+    "test_serving.py::test_map_batches_depth_invariant",
+    "test_serving.py::test_grouped_serving_matches_single_jit",
+    "test_pallas_chain.py::test_grouped_runner",
+    "test_pallas_chain.py::test_every_single_filter_matches",
+    "test_pallas_chain.py::test_masked_chain",
+    "test_tools.py::TestSelectPolicy::test_select_end_to_end_with_promote",
+    "test_tools.py::TestEditSequence",
+    "test_fivek_path.py::test_import_validator",
+)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: heavy compile/training tests (full suite only; "
+        "deselect with -m 'not slow')")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if any(s in item.nodeid for s in _SLOW_NODES):
+            item.add_marker(pytest.mark.slow)
