@@ -80,8 +80,19 @@ def restore_checkpoint(directory, template_state, step=None):
             # on EVERY call — through the remote tunnel (~5 MB/s) that
             # made every serving/eval dispatch pay seconds of parameter
             # transfer (measured: restored-policy rollout 4 s/call vs
-            # 106 ms with device-resident params).
-            return jax.device_put(restored), s
+            # 106 ms with device-resident params).  Each leaf inherits
+            # the TEMPLATE leaf's sharding when it has one, so a resume
+            # under a device mesh restores replicated-parameter arrays
+            # replicated (not committed to device 0, which would force a
+            # reshard — or a silent de-shard — on the first sharded
+            # step).  Exercised by __graft_entry__.dryrun_multichip.
+            def _put(t, r):
+                if isinstance(t, jax.Array):
+                    return jax.device_put(r, t.sharding)
+                return jax.device_put(r)
+
+            return jax.tree_util.tree_map(_put, template_state,
+                                          restored), s
         except (ValueError, OSError) as e:
             last_err = e
             print('# checkpoint %s unreadable (%s), trying older' %
