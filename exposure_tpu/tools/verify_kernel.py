@@ -57,7 +57,7 @@ def random_trajectory(rng, filters, k, b):
 
 def run_case(name, rng, filters, shape, steps, dtype='f32', masked=False,
              active=False, interpret=False, grouped=False,
-             fast_math=False):
+             fast_math=False, dynamic=False):
     b, h, w = shape
     imgf = rng.rand(b, h, w, 3).astype(np.float32) * 0.9
     ids, params = random_trajectory(rng, filters, steps, b)
@@ -82,6 +82,14 @@ def run_case(name, rng, filters, shape, steps, dtype='f32', masked=False,
         pallas = lambda im: runner(  # noqa: E731
             im, ids, params, active_steps=active_steps,
             mask_params=mask_params)
+    elif dynamic:
+        from exposure_tpu.ops.pallas_chain import (
+            pallas_apply_filter_chain_dynamic,
+        )
+        pallas = jax.jit(lambda im: pallas_apply_filter_chain_dynamic(
+            im, ids, params, filters, active_steps=active_steps,
+            mask_params=mask_params, interpret=interpret,
+            fast_math=fast_math))
     else:
         pallas = jax.jit(lambda im: pallas_apply_filter_chain(
             im, ids, params, filters, active_steps=active_steps,
@@ -196,15 +204,31 @@ def verify(interpret=False, seed=0):
          False, True, False),
         ('fast_grouped_masked_u8', mfilters, (2, 128, 256), 3, 'u8',
          True, False, True, True),
+        # the pl.when-dispatched DYNAMIC kernel (per-image ids on
+        # device, selected-branch cost — the fused single-dispatch
+        # serving path): full dtype x masking x fast-math matrix
+        ('dyn_u8_512', filters, (2, 512, 512), 5, 'u8', False, False,
+         False, False, True),
+        ('dyn_f32_odd_96x160', filters, (2, 96, 160), 5, 'f32', False,
+         False, False, False, True),
+        ('dyn_active_steps', filters, (2, 64, 64), 5, 'f32', False,
+         True, False, False, True),
+        ('fast_dyn_u8_512', filters, (2, 512, 512), 5, 'u8', False,
+         False, False, True, True),
+        ('dyn_masked', mfilters, (2, 64, 128), 3, 'f32', True, False,
+         False, False, True),
+        ('fast_dyn_masked_u8', mfilters, (2, 128, 256), 3, 'u8', True,
+         False, False, True, True),
     ]
     results = []
     for case in cases:
         name, flt, shape, steps, dtype, masked, active = case[:7]
         grouped = case[7] if len(case) > 7 else False
         fast = case[8] if len(case) > 8 else False
+        dynamic = case[9] if len(case) > 9 else False
         r = run_case(name, rng, flt, shape, steps, dtype=dtype,
                      masked=masked, active=active, interpret=interpret,
-                     grouped=grouped, fast_math=fast)
+                     grouped=grouped, fast_math=fast, dynamic=dynamic)
         print('  %-20s %-12s diff=%.3g tol=%g %s (%.1fs)' %
               (r['case'], 'x'.join(map(str, r['shape'])),
                r['max_abs_diff'], r['tol'],

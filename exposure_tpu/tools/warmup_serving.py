@@ -1,0 +1,123 @@
+"""Serving warmup / AOT precompile: measure and kill cold-start.
+
+Round-3 left one serving gap (VERDICT r3 item 4): steady-state compile
+churn is tamed (14-16 cached programs per dropout-varied stream), but a
+FRESH process still pays a multi-minute remote compile the first time
+each (signature, bucket) program is touched by live traffic.  The
+reference's tiny version of the same problem is its per-resolution
+cached reuse graph (reference net.py:683-709, built lazily per first
+contact too).
+
+``RetouchPipeline.warmup`` fixes it: plan ``--probes`` batches through
+the real policy (dropout keys are the churn source), record exactly
+which programs ``__call__`` would touch (``GroupedChainRunner.
+program_plan``), compile each once on padded-only rows.  This tool
+drives that on the real device and measures the user-visible number:
+wall-clock latency of the FIRST live batch, cold vs after warmup.
+
+Usage (real TPU, trained checkpoint):
+  python -m exposure_tpu.tools.warmup_serving \
+      --run synthetic/final-r4 [--batch 512] [--res 512] [--probes 6] \
+      [--skip-cold] [--out WARMUP.json]
+
+``--skip-cold`` skips the cold-pipeline measurement (saves the
+multi-minute cold compile when only the warm path is of interest).
+The recorded budget is emitted in the JSON; a server can replay it
+verbatim via ``RetouchPipeline.warmup(images, budget=...)`` without
+probing.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def first_batch_latency(pipe, images, seed):
+    """Wall-clock of ONE first __call__, completion forced by a full
+    host fetch of a tiny output slice.  This is a LATENCY measurement
+    (the user-visible cold-start number), not a throughput slope —
+    fixed tunnel costs are part of what the user waits for."""
+    t0 = time.time()
+    out = pipe(images, seed=seed)
+    np.asarray(out[0, :2, :2])
+    return time.time() - t0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--run', required=True,
+                    help='<config>/<run> trained checkpoint')
+    ap.add_argument('--batch', type=int, default=512)
+    ap.add_argument('--res', type=int, default=512)
+    ap.add_argument('--probes', type=int, default=6)
+    ap.add_argument('--seeds', type=int, default=3,
+                    help='live batches to time after the first (each a '
+                         'new dropout key, i.e. a new signature set)')
+    ap.add_argument('--skip-cold', action='store_true')
+    ap.add_argument('--out', default='WARMUP.json')
+    args = ap.parse_args()
+
+    from exposure_tpu.core.serving import RetouchPipeline
+    from exposure_tpu.utils.config import load_config
+
+    config_name, run = args.run.split('/', 1)
+    cfg = load_config(config_name)
+    cfg.name = args.run
+
+    rng = np.random.RandomState(0)
+    images = (rng.rand(args.batch, args.res, args.res, 3) *
+              255).astype(np.uint8)
+
+    report = {'run': args.run, 'batch': args.batch, 'res': args.res}
+
+    def build():
+        # stream-serving configuration: grouped runner, per-(sig,bucket)
+        # programs only (fused_set_limit=0 — set-keyed fused programs
+        # are the compile hazard warmup exists to avoid)
+        return RetouchPipeline.from_run(cfg, bf16=True,
+                                        fused_set_limit=0)
+
+    if not args.skip_cold:
+        pipe = build()
+        cold = first_batch_latency(pipe, images, seed=100)
+        report['cold_first_batch_s'] = round(cold, 1)
+        print('# cold first batch: %.1f s' % cold, file=sys.stderr)
+
+    pipe = build()
+    wrep = pipe.warmup(images, probe_batches=args.probes, seed=0)
+    report['warmup'] = wrep
+    print('# warmup: %d programs in %.1f s'
+          % (wrep['programs_compiled'], wrep['warmup_seconds']),
+          file=sys.stderr)
+
+    lats = []
+    for s in range(args.seeds):
+        # seeds 100+s differ from the probe keys: the measurement is
+        # honest only if warm traffic uses dropout keys the probe never
+        # saw (program reuse must come from (sig,bucket) coverage, not
+        # from replaying the probe's exact signature sets)
+        lats.append(first_batch_latency(pipe, images, seed=100 + s))
+        print('# warm batch %d: %.2f s' % (s, lats[-1]),
+              file=sys.stderr)
+    report['warm_first_batch_s'] = round(lats[0], 2)
+    report['warm_next_batches_s'] = [round(x, 2) for x in lats[1:]]
+    # programs compiled lazily DESPITE warmup (budget misses): the
+    # honest coverage metric
+    n_after = len(pipe._runner._fns)
+    report['programs_after_traffic'] = n_after
+    report['budget_misses'] = n_after - wrep['programs_compiled']
+
+    with open(args.out, 'w') as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps({k: v for k, v in report.items()
+                      if k != 'warmup'} |
+                     {'programs_compiled':
+                      wrep['programs_compiled']}))
+    print('# wrote', args.out, file=sys.stderr)
+
+
+if __name__ == '__main__':
+    main()

@@ -377,3 +377,78 @@ def test_grouped_runner_fused_set_limit_switchover(rng, cfg, filters):
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(exp2),
                                atol=1e-6)
+
+
+@pytest.mark.parametrize('dtype', ['float32', 'uint8'])
+def test_dynamic_chain_matches_jnp(rng, cfg, filters, dtype):
+    """The pl.when-dispatched dynamic kernel: per-image ids, selected-
+    branch-only cost, no host grouping — must match the jnp chain on a
+    signature-diverse batch (both dtypes)."""
+    from exposure_tpu.ops.pallas_chain import (
+        pallas_apply_filter_chain_dynamic,
+    )
+    b = 4
+    img_f = rng.rand(b, 64, 96, 3).astype(np.float32) * 0.9
+    ids, params = random_trajectory(rng, filters, cfg.test_steps, b)
+    if dtype == 'uint8':
+        img = jnp.asarray((img_f * 255).astype(np.uint8))
+        ref_in = img.astype(jnp.float32) / 255.0
+    else:
+        img = jnp.asarray(img_f)
+        ref_in = img
+    expected = apply_filter_chain(ref_in, ids, params, filters)
+    got = pallas_apply_filter_chain_dynamic(
+        img, ids, params, filters, tile=(32, 128), interpret=True)
+    if dtype == 'uint8':
+        exp_u8 = np.asarray(jnp.round(jnp.clip(expected, 0, 1) * 255)
+                            .astype(jnp.uint8)).astype(np.int64)
+        err = np.abs(np.asarray(got).astype(np.int64) - exp_u8)
+        assert err.max() <= 1, 'u8 dynamic chain off by %d LSB' % err.max()
+    else:
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                                   atol=3e-5, rtol=1e-4)
+
+
+def test_dynamic_chain_active_mask_and_identity(rng, cfg, filters):
+    from exposure_tpu.ops.pallas_chain import (
+        pallas_apply_filter_chain_dynamic,
+    )
+    img = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32) * 0.9)
+    ids, params = random_trajectory(rng, filters, 5, 2)
+    active = jnp.asarray(
+        np.array([[1, 1], [1, 0], [0, 1], [0, 0], [0, 0]], np.float32))
+    expected = apply_filter_chain(img, ids, params, filters,
+                                  active_steps=active)
+    got = pallas_apply_filter_chain_dynamic(
+        img, ids, params, filters, active_steps=active,
+        tile=(32, 128), interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               atol=3e-5, rtol=1e-4)
+    # all-identity trajectory: output is the (quantization-exact) input
+    ids0 = jnp.full_like(ids, len(filters))
+    same = pallas_apply_filter_chain_dynamic(
+        img, ids0, params, filters, tile=(32, 128), interpret=True)
+    np.testing.assert_allclose(np.asarray(same), np.asarray(img),
+                               atol=1e-6)
+
+
+def test_dynamic_chain_masked(rng):
+    """Masked config through the dynamic kernel: spatial masks evaluated
+    in-kernel from the global grid, per-image dynamic ids."""
+    from exposure_tpu.ops.pallas_chain import (
+        pallas_apply_filter_chain_dynamic,
+    )
+    cfg = load_config('masked')
+    filters = [f(cfg) for f in cfg.filters]
+    b = 2
+    img = jnp.asarray(rng.rand(b, 64, 96, 3).astype(np.float32) * 0.9)
+    ids, params = random_trajectory(rng, filters, 3, b)
+    max_m = max(f.get_num_mask_parameters() for f in filters)
+    mask = jnp.asarray(rng.randn(3, b, max_m).astype(np.float32))
+    expected = apply_filter_chain(img, ids, params, filters,
+                                  mask_params=mask)
+    got = pallas_apply_filter_chain_dynamic(
+        img, ids, params, filters, mask_params=mask,
+        tile=(32, 128), interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               atol=5e-5, rtol=1e-4)

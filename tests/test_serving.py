@@ -149,3 +149,111 @@ def test_map_batches_early_break(rng):
     first = next(gen)
     assert first.shape == batches[0].shape
     gen.close()
+
+
+def test_dynamic_serving_matches_switch_and_grouped(rng):
+    # the fused single-dispatch mode (cold-start/compile-budget): plan +
+    # pl.when-dispatched replay in ONE program — must reproduce both
+    # the switch single-jit pipeline and the grouped runner
+    cfg = load_config('test')
+    filters, policy, critic, value = build_models(cfg)
+    state, _ = init_train_state(cfg, policy, critic, value, 0)
+    imgs = (rng.rand(4, 64, 128, 3) * 255).astype(np.uint8)
+    pipe_d = RetouchPipeline(cfg, state, use_pallas=True, interpret=True,
+                             dynamic=True)
+    assert pipe_d.dynamic and not pipe_d.grouped
+    pipe_s = RetouchPipeline(cfg, state, use_pallas=True, interpret=True,
+                             dynamic=False, grouped=False)
+    pipe_g = RetouchPipeline(cfg, state, use_pallas=True, interpret=True,
+                             grouped=True)
+    assert pipe_g.grouped and not pipe_g.dynamic
+    a = pipe_d(imgs, seed=5)
+    b = pipe_s(imgs, seed=5)
+    assert a.dtype == np.uint8
+    np.testing.assert_array_equal(a, b)  # same plan, equivalent replay
+    c = pipe_g(imgs, seed=5)
+    diff = np.abs(a.astype(np.int32) - c.astype(np.int32))
+    assert diff.max() <= 1, diff.max()
+    with pytest.raises(ValueError, match='exclusive'):
+        RetouchPipeline(cfg, state, dynamic=True, grouped=True)
+
+
+def test_dynamic_map_batches_matches_grouped_stream(rng):
+    # per-batch RNG is (base key, fold_in(i)) in BOTH modes, so the
+    # dynamic stream must reproduce the grouped stream batch-for-batch
+    cfg = load_config('test')
+    filters, policy, critic, value = build_models(cfg)
+    state, _ = init_train_state(cfg, policy, critic, value, 0)
+    batches = [(rng.rand(2, 64, 128, 3) * 255).astype(np.uint8)
+               for _ in range(4)]
+    pipe_d = RetouchPipeline(cfg, state, use_pallas=True, interpret=True,
+                             dynamic=True)
+    pipe_g = RetouchPipeline(cfg, state, use_pallas=True, interpret=True,
+                             grouped=True)
+    outs_d = list(pipe_d.map_batches(iter(batches), seed=2))
+    outs_g = list(pipe_g.map_batches(iter(batches), seed=2))
+    assert len(outs_d) == 4
+    for a, c in zip(outs_d, outs_g):
+        assert a.dtype == np.uint8
+        diff = np.abs(a.astype(np.int32) - c.astype(np.int32))
+        assert diff.max() <= 1, diff.max()
+    # device_out yields device arrays (the caller controls fetching)
+    dev = list(pipe_d.map_batches(iter(batches[:1]), seed=2,
+                                  device_out=True))
+    assert isinstance(dev[0], jax.Array)
+
+
+def test_warmup_precompiles_serving_programs(rng):
+    # VERDICT r4 item: warmup records the (signature, bucket) budget
+    # from probe plans and precompiles it — live traffic with the SAME
+    # dropout keys must then touch no new replay program.
+    cfg = load_config('test')
+    filters, policy, critic, value = build_models(cfg)
+    state, _ = init_train_state(cfg, policy, critic, value, 0)
+    imgs = (rng.rand(16, 64, 128, 3) * 255).astype(np.uint8)
+
+    pipe = RetouchPipeline(cfg, state, use_pallas=True, interpret=True,
+                           grouped=True, fused_set_limit=0)
+    rep = pipe.warmup(imgs, probe_batches=2, seed=0)
+    assert rep['kind'] == 'grouped'
+    assert rep['programs_compiled'] >= 1
+    n_before = len(pipe._runner._fns)
+    # serve with a key the probe DID cover (idx folding: probe i used
+    # fold_in(PRNGKey(0), i); __call__ uses fold_in(PRNGKey(seed), 0))
+    ids, params, mask = pipe._plan_for(jnp.asarray(imgs),
+                                       jax.random.PRNGKey(0), idx=1)
+    out = pipe._replay(jnp.asarray(imgs), ids, params, mask)
+    assert out.shape == imgs.shape
+    assert len(pipe._runner._fns) == n_before, (
+        'warmed traffic compiled new programs: %s' %
+        [k for k in pipe._runner._fns if k not in range(n_before)])
+    # warmed replay must be IDENTICAL to an unwarmed pipeline's output
+    pipe2 = RetouchPipeline(cfg, state, use_pallas=True, interpret=True,
+                            grouped=True, fused_set_limit=0)
+    ids2, params2, mask2 = pipe2._plan_for(jnp.asarray(imgs),
+                                           jax.random.PRNGKey(0), idx=1)
+    out2 = pipe2._replay(jnp.asarray(imgs), ids2, params2, mask2)
+    np.testing.assert_array_equal(out, out2)
+
+
+def test_warmup_explicit_budget_and_modes(rng):
+    cfg = load_config('test')
+    filters, policy, critic, value = build_models(cfg)
+    state, _ = init_train_state(cfg, policy, critic, value, 0)
+    imgs = (rng.rand(4, 64, 64, 3) * 255).astype(np.uint8)
+
+    # explicit budget path: no probing, exactly the declared programs
+    pipe = RetouchPipeline(cfg, state, use_pallas=True, interpret=True,
+                           grouped=True, fused_set_limit=0)
+    k = cfg.test_steps
+    sig = tuple([0] * k)
+    rep = pipe.warmup(imgs, budget=[(sig, 8)])
+    assert rep['probe_batches'] == 0
+    # creates + accumulate variants for the one (sig, bucket) pair
+    assert rep['programs_compiled'] == 2
+    # non-grouped modes: one program
+    pipe_s = RetouchPipeline(cfg, state, use_pallas=True,
+                             interpret=True, grouped=False)
+    rep_s = pipe_s.warmup(imgs)
+    assert rep_s['kind'] == 'switch'
+    assert rep_s['programs_compiled'] == 1
