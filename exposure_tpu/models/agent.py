@@ -130,9 +130,37 @@ def agent_step(policy, variables, img, states, *, key, is_train, progress,
     greedy_id = jnp.argmax(pdf, axis=1).astype(jnp.int32)
     is_train = jnp.asarray(is_train, jnp.int32)
     selected_id = is_train * sampled_id + (1 - is_train) * greedy_id
+
+    # Replay-pool off-policy injection (round 4; DIVERSITY.md addendum 3
+    # remedy): with per-record probability ``replay_inject_prob`` the
+    # action is FORCED to a uniform-random filter, so the replay pool
+    # keeps receiving trajectories from outside the policy's locked-in
+    # family.  The forced records are strictly off-policy: their
+    # score-function surrogate is zeroed below (no REINFORCE pull toward
+    # random actions); the pathwise branch stays live, so the forced
+    # filter's parameter head still trains at the visited state.  Train
+    # mode only; Python-gated so the default (0.0) trace — and its RNG
+    # stream — is bit-identical to the reference-parity step.
+    inject_p = float(cfg.get('replay_inject_prob', 0.0) or 0.0)
+    if inject_p > 0.0:
+        k_inj, k_fid = jax.random.split(jax.random.fold_in(k_noise, 17))
+        in_window = (progress <
+                     cfg.get('replay_inject_until', 1.0))
+        injected = jnp.logical_and(
+            jax.random.bernoulli(k_inj, inject_p, (img.shape[0],)),
+            jnp.logical_and(is_train > 0, in_window))
+        forced_id = jax.random.randint(k_fid, (img.shape[0],), 0,
+                                       num_filters)
+        selected_id = jnp.where(injected, forced_id, selected_id)
+    else:
+        injected = None
+
     one_hot = jax.nn.one_hot(selected_id, num_filters, dtype=img.dtype)
     surrogate = jnp.sum(one_hot * jnp.log(pdf + 1e-10), axis=1,
                         keepdims=True)
+    if injected is not None:
+        surrogate = jnp.where(injected[:, None],
+                              jnp.zeros_like(surrogate), surrogate)
 
     out = jnp.sum(candidates * one_hot[:, :, None, None, None], axis=1)
     if high_res is not None:
@@ -162,7 +190,20 @@ def agent_step(policy, variables, img, states, *, key, is_train, progress,
 
     early_stop_penalty = (1 - is_last_step) * submitted * \
         cfg.early_stop_penalty
-    entropy_penalty = (1.0 - progress) * cfg.exploration_penalty * (
+    # Entropy-bonus decay (reference agent.py:242-244 is linear 1-t/T).
+    # ``entropy_respike`` (round 4) adds a triangular mid-training bump
+    # to the decay coefficient — a brief second exploration phase after
+    # the pool has a first converged family in it, the other remedy for
+    # the exploration lock-in of DIVERSITY.md addendum 3.  Python-gated:
+    # the default (0.0) trace is identical to the linear reference decay.
+    decay = 1.0 - progress
+    respike = float(cfg.get('entropy_respike', 0.0) or 0.0)
+    if respike > 0.0:
+        center = cfg.get('entropy_respike_center', 0.5)
+        width = cfg.get('entropy_respike_width', 0.15)
+        decay = decay + respike * jnp.maximum(
+            0.0, 1.0 - jnp.abs(progress - center) / width)
+    entropy_penalty = decay * cfg.exploration_penalty * (
         -entropy + math.log(num_filters))
     overflow = jnp.mean(jnp.maximum(out - 1, 0) ** 2, axis=(1, 2, 3))[:, None]
     penalty = (overflow + entropy_penalty +

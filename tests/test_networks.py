@@ -207,3 +207,98 @@ class TestAgentStep:
         diff = np.asarray(out2.penalty) - np.asarray(out1.penalty)
         # same rng -> same selection; extra usage penalty must appear
         assert (diff > 0.9 * cfg.filter_usage_penalty).all()
+
+
+class TestExplorationRemedies:
+    """Round-4 lock-in remedies (DIVERSITY.md addendum 3): replay-pool
+    off-policy injection + mid-training entropy re-spike.  Both knobs
+    default OFF and must then leave the reference-parity step (and its
+    RNG stream) bit-identical."""
+
+    def _step(self, cfg, filters, policy_and_vars, progress=0.0,
+              is_train=1, seed=3, batch=16):
+        policy, variables = policy_and_vars
+        img = jax.random.uniform(jax.random.PRNGKey(seed),
+                                 (batch, 64, 64, 3)) * 0.6
+        states = initial_states(batch, cfg.num_state_dim)
+        return agent_step(policy, variables, img, states,
+                          key=jax.random.PRNGKey(seed + 1),
+                          is_train=is_train, progress=progress,
+                          cfg=cfg, filters=filters)
+
+    def _cfg(self, **knobs):
+        c = load_config('test')
+        for k, v in knobs.items():
+            c[k] = v
+        return c
+
+    def test_disabled_knobs_are_bit_identical(self, cfg, filters,
+                                              policy_and_vars):
+        base = self._step(cfg, filters, policy_and_vars)
+        mod = self._step(self._cfg(replay_inject_prob=0.0,
+                                   entropy_respike=0.0),
+                         filters, policy_and_vars)
+        for name in ('image', 'surrogate', 'penalty',
+                     'selected_filter_id', 'pdf'):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(base, name)),
+                np.asarray(getattr(mod, name)), err_msg=name)
+
+    def test_injection_forces_offpolicy_actions(self, cfg, filters,
+                                                policy_and_vars):
+        base = self._step(cfg, filters, policy_and_vars)
+        out = self._step(self._cfg(replay_inject_prob=1.0),
+                         filters, policy_and_vars)
+        # every record forced: surrogate zeroed (no REINFORCE pull)...
+        np.testing.assert_array_equal(np.asarray(out.surrogate), 0.0)
+        # ...and the ids are the uniform draw, not the policy sample
+        assert (np.asarray(out.selected_filter_id) !=
+                np.asarray(base.selected_filter_id)).any()
+        # the packed record still follows the forced id (white-box
+        # replay stays exact for injected trajectories)
+        sel = np.asarray(out.selected_filter_id)
+        pdf = np.asarray(out.pdf)
+        assert not (sel == pdf.argmax(axis=1)).all()
+
+    def test_injection_respects_eval_and_window(self, cfg, filters,
+                                                policy_and_vars):
+        # eval mode: injection must not fire
+        base = self._step(cfg, filters, policy_and_vars, is_train=0)
+        out = self._step(self._cfg(replay_inject_prob=1.0),
+                         filters, policy_and_vars, is_train=0)
+        np.testing.assert_array_equal(
+            np.asarray(base.selected_filter_id),
+            np.asarray(out.selected_filter_id))
+        # past the injection window: identical to the plain step
+        base = self._step(cfg, filters, policy_and_vars, progress=0.9)
+        out = self._step(self._cfg(replay_inject_prob=1.0,
+                                   replay_inject_until=0.75),
+                         filters, policy_and_vars, progress=0.9)
+        np.testing.assert_array_equal(np.asarray(base.surrogate),
+                                      np.asarray(out.surrogate))
+        np.testing.assert_array_equal(
+            np.asarray(base.selected_filter_id),
+            np.asarray(out.selected_filter_id))
+
+    def test_respike_bumps_entropy_penalty_only_near_center(
+            self, cfg, filters, policy_and_vars):
+        spiked = self._cfg(entropy_respike=1.0,
+                           entropy_respike_center=0.5,
+                           entropy_respike_width=0.15)
+        # at the bump center the penalty strictly exceeds the linear
+        # decay (entropy < log K for any non-uniform pdf)
+        base = self._step(cfg, filters, policy_and_vars, progress=0.5)
+        out = self._step(spiked, filters, policy_and_vars, progress=0.5)
+        diff = np.asarray(out.penalty) - np.asarray(base.penalty)
+        assert (diff > 0).all()
+        import math as _math
+        expected = float(cfg.exploration_penalty) * (
+            -np.asarray(base.entropy) + _math.log(len(filters)))
+        np.testing.assert_allclose(diff, expected, rtol=1e-4, atol=1e-7)
+        # outside the bump: equal up to f32 roundoff (the zero-valued
+        # bump term downcasts the Python-float decay coefficient)
+        base = self._step(cfg, filters, policy_and_vars, progress=0.9)
+        out = self._step(spiked, filters, policy_and_vars, progress=0.9)
+        np.testing.assert_allclose(np.asarray(base.penalty),
+                                   np.asarray(out.penalty), rtol=1e-5,
+                                   atol=1e-9)
