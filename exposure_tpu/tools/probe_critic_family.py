@@ -70,6 +70,50 @@ def consensus_ranking(matrix, out_names):
     return ranking, mean_rank
 
 
+def family_separation(matrix, out_names, anchor='inputs'):
+    """Median per-critic RELATIVE output spread — the abstain statistic.
+
+    The consensus ranking separates policy FAMILIES but is actively
+    anti-correlated with quality inside one family (SELECT.json round 3:
+    Spearman -0.70 on the healthy ``synthetic_explore`` pool).  What
+    distinguishes the two regimes is not inter-critic agreement
+    (Kendall's W is >0.85 in BOTH recorded pools) but the ABSOLUTE
+    scale of the critics' preferences: on the family-split pool
+    (CRITIC_PROBE.json) each critic's spread across candidate outputs
+    is ~20% of its own output-vs-raw-inputs gap (median 0.196 over 5
+    critics); inside one family the residual preferences are ~20x
+    smaller relative to the same gap.  So: for every critic compute
+    ``(max - min over candidate outputs) / (mean(outputs) -
+    score(anchor))`` and take the MEDIAN over critics (robust — 2 of 5
+    good-pool critics measure 0.04-0.06).  Returns (median_ratio,
+    per_critic_ratios); callers abstain below ``ABSTAIN_THRESHOLD``.
+
+    ``anchor`` names a matrix column scored on the UNRETOUCHED inputs —
+    available at selection time with no targets, which is the whole
+    point of unsupervised selection.
+    """
+    ratios = {}
+    for critic, row in matrix.items():
+        if anchor not in row:
+            continue
+        outs = [row[n]['mean'] for n in out_names]
+        spread = max(outs) - min(outs)
+        gap = sum(outs) / len(outs) - row[anchor]['mean']
+        ratios[critic] = spread / max(gap, 1e-9)
+    if not ratios:
+        return None, {}
+    vals = sorted(ratios.values())
+    mid = len(vals) // 2
+    median = vals[mid] if len(vals) % 2 else \
+        0.5 * (vals[mid - 1] + vals[mid])
+    return median, ratios
+
+
+# below this median relative spread the pool shows no family split and
+# the consensus ordering is noise (see family_separation docstring)
+ABSTAIN_THRESHOLD = 0.10
+
+
 def patch_profile(images, patch=4):
     """Median 4x4 luminance-patch std per patch-mean bin + dark-patch
     fraction — the per-patch statistics that separate an

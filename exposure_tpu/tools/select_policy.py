@@ -22,6 +22,15 @@ the histogram metric once the family gap is gone).  Use consensus to
 reject locked-in seeds; use ``--truth`` + ``--promote-by truth`` when
 a target set exists and candidates are within one family.
 
+ABSTAIN (round 4): the tool now DETECTS which regime a pool is in
+without targets — the median per-critic output spread relative to each
+critic's own output-vs-raw-inputs gap
+(``probe_critic_family.family_separation``; ~0.20 on the recorded
+family-split pool vs ~20x smaller within one family).  Below
+``ABSTAIN_THRESHOLD`` the verdict is ``abstain``: no winner is
+declared and consensus promotion refuses (truth promotion still
+works).
+
 This tool runs that selection end-to-end:
 
 1. restore every candidate run's full train state;
@@ -53,7 +62,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from exposure_tpu.core.evaluator import Evaluator
-from exposure_tpu.tools.probe_critic_family import consensus_ranking
+from exposure_tpu.tools.probe_critic_family import (
+    ABSTAIN_THRESHOLD,
+    consensus_ranking,
+    family_separation,
+)
 from exposure_tpu.utils.config import load_config
 
 
@@ -99,7 +112,10 @@ def main():
     inputs, _ = cfg0.fake_data_provider_test().get_next_batch(args.n)
     inputs = np.clip(inputs, 0.0, 1.0).astype(np.float32)
 
-    evs, outputs = [], {}
+    # the raw inputs are the anchor for the abstain statistic: each
+    # critic's output-vs-input gap calibrates the scale of its
+    # preferences (family_separation docstring)
+    evs, outputs = [], {'inputs': inputs}
     for run in args.runs:
         cfg = load_config(args.config)
         cfg.name = '%s/%s' % (args.config, run)
@@ -112,9 +128,19 @@ def main():
     out_names = ['out:' + r for r in args.runs]
     ranking, mean_rank = consensus_ranking(matrix, out_names)
     winner = ranking[0][len('out:'):]
+    separation, sep_per_critic = family_separation(matrix, out_names)
+    abstain = separation is not None and separation < ABSTAIN_THRESHOLD
     print('# consensus ranking (most real first): %s'
           % [n[len('out:'):] for n in ranking])
-    print('# winner: %s/%s' % (args.config, winner))
+    print('# family separation: %.3f (abstain threshold %.2f)'
+          % (separation, ABSTAIN_THRESHOLD))
+    if abstain:
+        print('# verdict: ABSTAIN — pool shows no family split; '
+              'within-family ordering is not recoverable by critic '
+              'consensus (measured Spearman -0.70, SELECT.json r3). '
+              'Use --truth / --promote-by truth if a target set exists.')
+    else:
+        print('# winner: %s/%s' % (args.config, winner))
 
     result = {
         'config': args.config,
@@ -124,7 +150,12 @@ def main():
         'consensus_ranking': ranking,
         'consensus_mean_rank': {n: round(v, 3)
                                 for n, v in mean_rank.items()},
-        'winner': winner,
+        'family_separation': round(separation, 4),
+        'family_separation_per_critic': {
+            c: round(v, 4) for c, v in sep_per_critic.items()},
+        'abstain_threshold': ABSTAIN_THRESHOLD,
+        'verdict': 'abstain' if abstain else 'rank',
+        'winner': None if abstain else winner,
     }
 
     if args.truth:
@@ -153,6 +184,15 @@ def main():
                 raise SystemExit('--promote-by truth: no overlapping '
                                  'runs found in %s' % args.truth)
             target = result['truth_winner']
+        elif abstain:
+            with open(args.out, 'w') as f:
+                json.dump(result, f, indent=1)
+            raise SystemExit(
+                'abstain: family separation %.3f < %.2f — consensus '
+                'cannot order a within-family pool (wrote %s; re-run '
+                'with --truth + --promote-by truth to promote by '
+                'measured quality)' % (separation, ABSTAIN_THRESHOLD,
+                                       args.out))
         else:
             target = winner  # relative: same directory level
         link = os.path.join(args.model_root, args.config, args.promote)
