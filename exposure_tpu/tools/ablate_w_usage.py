@@ -39,6 +39,16 @@ def main():
                          'bank — with the per-channel Color curve gone, '
                          'W becomes the only cast corrector, isolating '
                          'whether the policy CAN learn it')
+    ap.add_argument('--color-curve-range', nargs=2, type=float,
+                    default=None, metavar=('LO', 'HI'),
+                    help='shrink the C curve\'s per-knot gain range '
+                         '(reference default 0.90 1.10) WITHOUT removing '
+                         'the filter — the soft version of --drop-filters '
+                         'C: a range too narrow to absorb the injected '
+                         'cast separates "W is redundant given C" from '
+                         '"W head is broken" (VERDICT r3 item 8; the '
+                         'hard drop already shows W usage 0->0.2, '
+                         'W_ABLATION_NOC.json)')
     ap.add_argument('--out', default='W_ABLATION.json')
     args = ap.parse_args()
 
@@ -59,6 +69,10 @@ def main():
         # (config_example.py: num_state_dim = 3 + len(filters))
         cfg.num_state_dim = 3 + len(cfg.filters)
         cfg.name += '-no' + ''.join(sorted(drop))
+    if args.color_curve_range is not None:
+        lo, hi = args.color_curve_range
+        cfg.color_curve_range = (lo, hi)
+        cfg.name += '-c%g_%g' % (lo, hi)
     cfg.write_image_interval = 2000
     cast = args.cast
     cfg.fake_data_provider = lambda: SyntheticDataProvider(
@@ -89,6 +103,8 @@ def main():
     inputs, _ = cfg.fake_data_provider_test().get_next_batch(args.n)
     report = {
         'cast': args.cast,
+        'color_curve_range': list(cfg.color_curve_range),
+        'dropped_filters': sorted(args.drop_filters),
         'iters': int(trainer.state.step),
         'train_minutes': round(train_minutes, 1),
         **analyze(cfg, ev, inputs, keys=4),

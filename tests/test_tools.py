@@ -232,6 +232,48 @@ class TestSelectPolicy:
         assert mean_rank['out:b'] == pytest.approx(1.0)
         assert mean_rank['out:a'] == pytest.approx((2 + 3 + 2) / 3)
 
+    def test_family_separation_statistic(self):
+        from exposure_tpu.tools.probe_critic_family import (
+            ABSTAIN_THRESHOLD,
+            family_separation,
+        )
+
+        names = ['out:a', 'out:b']
+        # family-split regime: output spread is a large fraction of the
+        # critic's own output-vs-input gap (CRITIC_PROBE.json shape)
+        split = {
+            'c1': {'inputs': {'mean': -7.0}, 'out:a': {'mean': 12.0},
+                   'out:b': {'mean': 16.0}},
+            'c2': {'inputs': {'mean': -41.0}, 'out:a': {'mean': -19.0},
+                   'out:b': {'mean': -14.0}},
+            'c3': {'inputs': {'mean': 0.0}, 'out:a': {'mean': 20.0},
+                   'out:b': {'mean': 25.0}},
+        }
+        sep, per = family_separation(split, names)
+        assert sep > ABSTAIN_THRESHOLD
+        assert set(per) == {'c1', 'c2', 'c3'}
+        # within-family regime: residual preferences are tiny relative
+        # to the same gap (SELECT.json round-3 shape) -> abstain
+        tight = {
+            'c1': {'inputs': {'mean': -40.0}, 'out:a': {'mean': -14.9},
+                   'out:b': {'mean': -14.8}},
+            'c2': {'inputs': {'mean': -30.0}, 'out:a': {'mean': -2.9},
+                   'out:b': {'mean': -2.8}},
+            'c3': {'inputs': {'mean': -25.0}, 'out:a': {'mean': 0.0},
+                   'out:b': {'mean': 0.6}},
+        }
+        sep2, _ = family_separation(tight, names)
+        assert sep2 < ABSTAIN_THRESHOLD
+        # median over critics: one noisy critic cannot flip the verdict
+        tight['c3']['out:b']['mean'] = 20.0
+        sep3, _ = family_separation(tight, names)
+        assert sep3 < ABSTAIN_THRESHOLD
+        # no anchor column -> no statistic (callers keep the old path)
+        sep4, per4 = family_separation(
+            {'c1': {'out:a': {'mean': 0.0}, 'out:b': {'mean': 1.0}}},
+            names)
+        assert sep4 is None and per4 == {}
+
     def test_select_end_to_end_with_promote(self, tmp_path, monkeypatch):
         import sys
 
@@ -253,32 +295,104 @@ class TestSelectPolicy:
 
         from exposure_tpu.tools import select_policy as sp
         out = tmp_path / 'select.json'
+        # identical checkpoints -> identical outputs -> ZERO family
+        # separation: consensus promotion must ABSTAIN (SystemExit),
+        # writing the result with verdict=abstain and no winner
         monkeypatch.setattr(sys, 'argv', [
             'prog', '--config', 'test', '--runs', 'seed0', 'seed1',
             '--n', '4', '--model-root', str(tmp_path),
             '--out', str(out), '--promote', 'best',
             '--truth', str(truth)])
-        sp.main()
+        with pytest.raises(SystemExit, match='abstain'):
+            sp.main()
         d = json.loads(out.read_text())
-        assert d['winner'] in ('seed0', 'seed1')
-        # identical checkpoints -> tied consensus (stable order seed0,
-        # seed1); the declared truth winner is seed1, so Spearman = -1
+        assert d['verdict'] == 'abstain'
+        assert d['winner'] is None
+        assert d['family_separation'] < d['abstain_threshold']
+        # the declared truth winner rides along for the truth path
         assert d['truth_winner'] == 'seed1'
         assert d['spearman_vs_truth'] == pytest.approx(-1.0)
-        link = tmp_path / 'test' / 'best'
-        assert link.is_symlink()
-        assert os.readlink(link) == d['winner']
-        # promoted run restores through the symlink like a normal run
-        from exposure_tpu.core.evaluator import Evaluator
-        cfg2 = load_config('test')
-        cfg2.name = 'test/best'
-        Evaluator(cfg2, model_root=str(tmp_path))
+        assert not (tmp_path / 'test' / 'best').exists()
 
-        # --promote-by truth repoints the symlink at the measured winner
+        # --promote-by truth works on an abstained pool: it promotes by
+        # measured quality, which abstention does not gate
         monkeypatch.setattr(sys, 'argv', [
             'prog', '--config', 'test', '--runs', 'seed0', 'seed1',
             '--n', '4', '--model-root', str(tmp_path),
             '--out', str(out), '--promote', 'best',
             '--truth', str(truth), '--promote-by', 'truth'])
         sp.main()
-        assert os.readlink(tmp_path / 'test' / 'best') == 'seed1'
+        link = tmp_path / 'test' / 'best'
+        assert link.is_symlink()
+        assert os.readlink(link) == 'seed1'
+        # promoted run restores through the symlink like a normal run
+        from exposure_tpu.core.evaluator import Evaluator
+        cfg2 = load_config('test')
+        cfg2.name = 'test/best'
+        Evaluator(cfg2, model_root=str(tmp_path))
+
+
+class TestEditSequence:
+    def test_edit_scale_and_drop(self, tmp_path):
+        """One-command white-box edit: halve a recorded exposure boost,
+        replay, and check the output dims accordingly (reference
+        net.py:841-877 step export is the artifact this edits)."""
+        from exposure_tpu.core.trainer import build_models
+        from exposure_tpu.tools import edit_sequence as es
+        from exposure_tpu.utils import load_config
+        from exposure_tpu.utils.image_io import read_image, write_image
+
+        cfg = load_config('test')
+        filters, _, _, _ = build_models(cfg)
+        fid = next(i for i, f in enumerate(filters)
+                   if type(f).__name__ == 'ExposureFilter')
+        names = [f.get_short_name() for f in filters]
+        debug = [
+            {'step': 0, 'filter_id': fid, 'short_name': names[fid],
+             'all_short_names': names,
+             'filter_parameters': np.asarray([2.0], np.float32),
+             'mask_parameters': np.zeros((0,), np.float32),
+             'pdf': np.zeros((len(filters),), np.float32),
+             'applied': True},
+            {'step': 1, 'filter_id': fid, 'short_name': names[fid],
+             'all_short_names': names,
+             'filter_parameters': np.asarray([0.5], np.float32),
+             'mask_parameters': np.zeros((0,), np.float32),
+             'pdf': np.zeros((len(filters),), np.float32),
+             'applied': False},
+        ]
+        dbg = tmp_path / 'img_debug.pkl'
+        with open(dbg, 'wb') as f:
+            pickle.dump(debug, f)
+        img = tmp_path / 'img.png'
+        rng = np.random.RandomState(0)
+        write_image(str(img), rng.rand(24, 32, 3) * 0.5 + 0.2)
+
+        out = tmp_path / 'edit'
+        es.main(['--config', 'test', '--debug', str(dbg),
+                 '--image', str(img), '--step', '0', '--scale', '0.5',
+                 '--out-dir', str(out)])
+        before = read_image(str(out / 'before.png'))
+        after = read_image(str(out / 'after.png'))
+        # exposure 2 stops -> 1 stop: strictly dimmer, not identical
+        assert after.mean() < before.mean()
+        assert np.abs(after - before).max() > 0.01
+        rec = json.loads((out / 'edit.json').read_text())
+        assert rec['edit'] == 'scale 0.5'
+        assert rec['params_before'] == [2.0]
+        assert rec['params_after'] == [1.0]
+        assert len(rec['sequence']) == 2
+        assert rec['sequence'][1]['applied'] is False
+
+        # --drop skips the step entirely: output equals the identity
+        # replay of the (inactive) rest of the sequence
+        out2 = tmp_path / 'edit2'
+        es.main(['--config', 'test', '--debug', str(dbg),
+                 '--image', str(img), '--step', '0', '--drop',
+                 '--out-dir', str(out2)])
+        after2 = read_image(str(out2 / 'after.png'))
+        lin = es.load_debug(dbg)  # sanity: tool did not mutate the pkl
+        assert lin[0]['applied'] is True
+        from exposure_tpu.core.evaluator import load_linear_image
+        ident = np.clip(load_linear_image(str(img)), 0, 1)
+        assert np.abs(after2 - ident).max() < 2.5 / 255
