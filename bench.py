@@ -28,7 +28,10 @@ inflated earlier rounds' numbers ~20x; the slope method cancels all
 fixed costs and matches physics — memcpy measures ~640 GB/s ~= 78% of
 v5e HBM.  See tools/bench_truth.py / tools/bench_kernel_probe.py.)
 
-Prints ONE JSON line: images/sec plus vs_baseline.
+Prints the headline JSON line LAST (the driver parses the final line);
+flag-less driver runs with a trained checkpoint additionally print the
+fixed-config comparison lines first (untrained switch; trained sync
+grouped) so BENCH_r* artifacts stay self-comparable across rounds.
 
 Flags:
   --run <config>/<run>  benchmark a TRAINED checkpoint on images from the
@@ -233,13 +236,47 @@ def slope_time(fn, n_small=10, n_big=40, rounds=2):
     return max((t_b - t_s) / (n_big - n_small), 1e-9)
 
 
+def measure(mode, batch, res, u8, run, bf16, fast_math, depth=8):
+    """One pipeline measurement -> (img_per_sec, metric_name)."""
+    if mode == 'stream':
+        img_per_sec, n_variants = bench_stream(
+            batch, res, u8=u8, run=run, bf16=bf16, fast_math=fast_math,
+            depth=depth)
+        print('# stream: depth=%d kernel_variants=%d'
+              % (depth, n_variants), file=sys.stderr)
+    else:
+        step_fn, params, imgs, rng = build_pipeline(batch, res, mode, u8,
+                                                    run=run, bf16=bf16,
+                                                    fast_math=fast_math)
+        # fixed key: identical trajectories every call (stable signatures
+        # for the grouped path; dropout is always on, so the key changes
+        # choices)
+        dt = slope_time(lambda: step_fn(params, imgs, rng))
+        img_per_sec = batch / dt
+    tags = ('' if not u8 else '_u8io') + ('_bf16' if bf16 else '') + \
+        ('_trained' if run else '') + \
+        ('' if mode == 'switch' else '_' + mode)
+    return img_per_sec, '512px_images_per_sec_5step_inference%s' % tags
+
+
+def emit(img_per_sec, metric, n_chips):
+    target = 1250.0 * n_chips
+    print(json.dumps({
+        'metric': metric,
+        'value': round(img_per_sec, 2),
+        'unit': 'images/sec',
+        'vs_baseline': round(img_per_sec / target, 4),
+    }), flush=True)
+
+
 def main():
     batch = int(_flag_value('--batch', 512))
     res = 512
     run = _flag_value('--run', None)
-    if run is None and '--switch' not in sys.argv and \
-            '--no-pallas' not in sys.argv and '--grouped' not in sys.argv \
-            and '--stream' not in sys.argv:
+    driver_mode = run is None and '--switch' not in sys.argv and \
+        '--no-pallas' not in sys.argv and '--grouped' not in sys.argv \
+        and '--stream' not in sys.argv
+    if driver_mode:
         # driver headline: when a trained flagship checkpoint exists,
         # default to the production serving path — deep-pipelined
         # signature-grouped stream with the bf16 policy plan (the
@@ -282,35 +319,32 @@ def main():
     # serving-default fast-math kernels (poly-cos + relu curves,
     # ops/fastmath.py); --exact for the reference-exact kernels
     fast_math = '--exact' not in sys.argv
+    depth = int(_flag_value('--depth', 8))
     n_chips = len(jax.devices())
 
-    if mode == 'stream':
-        depth = int(_flag_value('--depth', 8))
-        img_per_sec, n_variants = bench_stream(
-            batch, res, u8=u8, run=run, bf16=bf16, fast_math=fast_math,
-            depth=depth)
-        print('# stream: depth=%d kernel_variants=%d'
-              % (depth, n_variants), file=sys.stderr)
-    else:
-        step_fn, params, imgs, rng = build_pipeline(batch, res, mode, u8,
-                                                    run=run, bf16=bf16,
-                                                    fast_math=fast_math)
+    if driver_mode and run is not None:
+        # Driver runs emit the FIXED-CONFIG comparison lines before the
+        # headline so BENCH_r* artifacts are self-comparable across
+        # rounds (every round's regression in any path is visible):
+        #   1. untrained switch single-jit (the run-independent line
+        #      every round since r2),
+        #   2. trained per-batch synchronous grouped replay,
+        #   3. trained stream + bf16 plan — the HEADLINE, printed LAST
+        #      (the driver parses the final JSON line).
+        # tag-distinct metric names match what the same flags produced
+        # in earlier rounds' manual runs, so series stay comparable
+        v, m = measure('switch', batch, res, u8, None, False, fast_math)
+        emit(v, m, n_chips)
+        v, m = measure('grouped', batch, res, u8, run, False, fast_math)
+        emit(v, m, n_chips)
+        v, m = measure('stream', batch, res, u8, run, True, fast_math,
+                       depth=depth)
+        emit(v, m, n_chips)
+        return
 
-        # fixed key: identical trajectories every call (stable signatures
-        # for the grouped path; dropout is always on, so the key changes
-        # choices)
-        dt = slope_time(lambda: step_fn(params, imgs, rng))
-        img_per_sec = batch / dt
-    target = 1250.0 * n_chips
-    tags = ('' if not u8 else '_u8io') + ('_bf16' if bf16 else '') + \
-        ('_trained' if run else '') + \
-        ('' if mode == 'switch' else '_' + mode)
-    print(json.dumps({
-        'metric': '512px_images_per_sec_5step_inference%s' % tags,
-        'value': round(img_per_sec, 2),
-        'unit': 'images/sec',
-        'vs_baseline': round(img_per_sec / target, 4),
-    }))
+    img_per_sec, metric = measure(mode, batch, res, u8, run, bf16,
+                                  fast_math, depth=depth)
+    emit(img_per_sec, metric, n_chips)
 
 
 if __name__ == '__main__':
