@@ -8,17 +8,20 @@ reference does per image in net.py:796-821 but batched and fused):
   3. replay the recorded chains on the 512x512 originals through the
      fused Pallas kernel.
 
-  Default (round 3): when a trained checkpoint exists
-  (synthetic/final-r2 or --run), the deep-pipelined STREAM serving
+  Default (round 4): when a trained checkpoint exists
+  (synthetic/final-r4 or --run), the deep-pipelined STREAM serving
   path with a bf16 policy plan — RetouchPipeline.map_batches runs
   plans 2*depth batches ahead, reads ids back in ONE stacked fetch per
   depth batches, and replays through the signature-grouped switchless
-  kernels (the production serving mode, core/serving.py).  Other
-  modes: ``--switch`` = the single-jit lax.switch kernel (fully
-  device-side, no host syncs — the stable-through-the-tunnel
-  comparison mode), ``--grouped`` = per-batch synchronous grouped
-  replay (3x faster on device than switch, but pays a per-batch host
-  ids fetch).
+  kernels (the production serving mode, core/serving.py) — with
+  ``--superset`` (the driver headline) freezing the recorded
+  (signature, bucket) layout into ONE fused program so steady-state
+  replay is a single dispatch per batch
+  (GroupedChainRunner.call_superset).  Other modes: ``--switch`` = the
+  single-jit lax.switch kernel (fully device-side, no host syncs — the
+  stable-through-the-tunnel comparison mode), ``--grouped`` =
+  per-batch synchronous grouped replay (3x faster on device than
+  switch, but pays a per-batch host ids fetch).
 
 Timing methodology: dependency-honest SLOPE timing — wall-clock of 40
 dispatches minus wall-clock of 10, divided by 30, with a tiny device->
@@ -151,7 +154,7 @@ def build_pipeline(batch, res, mode='grouped', u8=True, run=None,
 
 
 def bench_stream(batch, res, u8=True, run=None, bf16=False,
-                 fast_math=True, depth=8):
+                 fast_math=True, depth=8, superset=False):
     """Deep-pipelined grouped serving over a stream of batches
     (core/serving.py map_batches): plans run 2*depth batches ahead,
     ids come back in one stacked fetch per depth batches, replays are
@@ -205,6 +208,16 @@ def bench_stream(batch, res, u8=True, run=None, bf16=False,
         np.asarray(last[0, :2, :2, 0])
 
     n_small, n_big, rounds = 10, 40, 2
+    if superset:
+        # freeze the one-dispatch-per-batch fused layout from recorded
+        # probe plans (core/serving.py warmup(superset=True)); probes
+        # use the same key sequence as the stream's first batches
+        wrep = pipe.warmup(imgs, probe_batches=2 * depth, seed=0,
+                           superset=True)
+        print('# superset: %d slots, %d programs in %.1f s'
+              % (len(wrep.get('budget', [])),
+                 wrep['programs_compiled'], wrep['warmup_seconds']),
+              file=sys.stderr)
     run_n(n_big + 2 * depth)  # warmup: compiles every timed variant
 
     def span(n):
@@ -236,12 +249,13 @@ def slope_time(fn, n_small=10, n_big=40, rounds=2):
     return max((t_b - t_s) / (n_big - n_small), 1e-9)
 
 
-def measure(mode, batch, res, u8, run, bf16, fast_math, depth=8):
+def measure(mode, batch, res, u8, run, bf16, fast_math, depth=8,
+            superset=False):
     """One pipeline measurement -> (img_per_sec, metric_name)."""
     if mode == 'stream':
         img_per_sec, n_variants = bench_stream(
             batch, res, u8=u8, run=run, bf16=bf16, fast_math=fast_math,
-            depth=depth)
+            depth=depth, superset=superset)
         print('# stream: depth=%d kernel_variants=%d'
               % (depth, n_variants), file=sys.stderr)
     else:
@@ -255,7 +269,8 @@ def measure(mode, batch, res, u8, run, bf16, fast_math, depth=8):
         img_per_sec = batch / dt
     tags = ('' if not u8 else '_u8io') + ('_bf16' if bf16 else '') + \
         ('_trained' if run else '') + \
-        ('' if mode == 'switch' else '_' + mode)
+        ('' if mode == 'switch' else '_' + mode) + \
+        ('_superset' if superset else '')
     return img_per_sec, '512px_images_per_sec_5step_inference%s' % tags
 
 
@@ -293,6 +308,7 @@ def main():
         for cand in ('synthetic_explore/best',
                      'synthetic_explore/parity-seed2',
                      'synthetic_explore/parity-seed0',
+                     'synthetic/final-r4',
                      'synthetic/final-r3', 'synthetic/final-r2',
                      'synthetic/parity-seed0',
                      'synthetic_wide/parity-seed0'):
@@ -320,6 +336,9 @@ def main():
     # ops/fastmath.py); --exact for the reference-exact kernels
     fast_math = '--exact' not in sys.argv
     depth = int(_flag_value('--depth', 8))
+    # --superset: freeze the one-dispatch-per-batch fused replay layout
+    # from probe plans before streaming (core/serving.py warmup)
+    superset = '--superset' in sys.argv
     n_chips = len(jax.devices())
 
     if driver_mode and run is not None:
@@ -329,8 +348,12 @@ def main():
         #   1. untrained switch single-jit (the run-independent line
         #      every round since r2),
         #   2. trained per-batch synchronous grouped replay,
-        #   3. trained stream + bf16 plan — the HEADLINE, printed LAST
-        #      (the driver parses the final JSON line).
+        #   3. trained stream + bf16 plan (the round-3 headline),
+        #   4. (round 4) trained stream + bf16 + SUPERSET replay — the
+        #      frozen-layout one-dispatch-per-batch fused program
+        #      (GroupedChainRunner.call_superset), the new HEADLINE
+        #      (13,499 img/s/chip measured; closes the residual
+        #      per-dispatch host cost PROFILE.md attributed).
         # tag-distinct metric names match what the same flags produced
         # in earlier rounds' manual runs, so series stay comparable
         v, m = measure('switch', batch, res, u8, None, False, fast_math)
@@ -340,10 +363,14 @@ def main():
         v, m = measure('stream', batch, res, u8, run, True, fast_math,
                        depth=depth)
         emit(v, m, n_chips)
+        v, m = measure('stream', batch, res, u8, run, True, fast_math,
+                       depth=depth, superset=True)
+        emit(v, m, n_chips)
         return
 
     img_per_sec, metric = measure(mode, batch, res, u8, run, bf16,
-                                  fast_math, depth=depth)
+                                  fast_math, depth=depth,
+                                  superset=superset)
     emit(img_per_sec, metric, n_chips)
 
 

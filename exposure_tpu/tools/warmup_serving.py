@@ -57,6 +57,11 @@ def main():
                     help='live batches to time after the first (each a '
                          'new dropout key, i.e. a new signature set)')
     ap.add_argument('--skip-cold', action='store_true')
+    ap.add_argument('--superset', action='store_true',
+                    help='freeze the recorded budget into ONE fused '
+                         'replay program (one dispatch per live batch; '
+                         'GroupedChainRunner.call_superset) instead of '
+                         'per-(sig,bucket) accumulate programs')
     ap.add_argument('--out', default='WARMUP.json')
     args = ap.parse_args()
 
@@ -87,7 +92,8 @@ def main():
         print('# cold first batch: %.1f s' % cold, file=sys.stderr)
 
     pipe = build()
-    wrep = pipe.warmup(images, probe_batches=args.probes, seed=0)
+    wrep = pipe.warmup(images, probe_batches=args.probes, seed=0,
+                       superset=args.superset)
     report['warmup'] = wrep
     print('# warmup: %d programs in %.1f s'
           % (wrep['programs_compiled'], wrep['warmup_seconds']),

@@ -452,3 +452,77 @@ def test_dynamic_chain_masked(rng):
         tile=(32, 128), interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                atol=5e-5, rtol=1e-4)
+
+
+def test_superset_routing_matches_switch(rng, cfg, filters):
+    """call_superset (round 4): frozen-layout one-dispatch replay must
+    equal the switch reference across every routing case — in-layout
+    group, bucket overflow, signature missing from the layout, and an
+    empty layout slot."""
+    from exposure_tpu.ops.pallas_chain import GroupedChainRunner
+    k = 3
+    nf = len(filters)
+    sig_a = (0, 1, 2)
+    sig_b = (2, 0, nf)          # trailing identity step
+    sig_c = (1, 1, 0)           # NOT in the layout -> leftover merge
+    sig_d = (3 % nf, 0, 1)      # in the layout, absent from the batch
+    cols = [sig_a] * 6 + [sig_b] * 10 + [sig_c] * 2
+    order = rng.permutation(len(cols))
+    cols = [cols[i] for i in order]
+    ids = np.asarray(cols, np.int32).T  # [K, B]
+    b = ids.shape[1]
+    img = jnp.asarray(rng.rand(b, 64, 128, 3).astype(np.float32) * 0.9)
+    max_p = max_filter_parameters(filters)
+    params = jnp.asarray(rng.randn(k, b, max_p).astype(np.float32))
+
+    expected = pallas_apply_filter_chain(
+        img, jnp.asarray(ids), params, filters, tile=(32, 128),
+        interpret=True)
+    runner = GroupedChainRunner(filters, interpret=True)
+    # bucket 8 overflows sig_b's 10 images: 2 must fall to the merge
+    layout = ((sig_a, 8), (sig_b, 8), (sig_d, 8))
+    got = runner.call_superset(img, ids, params, layout)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               atol=1e-5, rtol=1e-4)
+    # same batch again: only cached programs (one multi + one merge)
+    n_before = len(runner._fns)
+    got2 = runner.call_superset(img, ids, params, layout)
+    assert len(runner._fns) == n_before
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(got2))
+    # single-signature batch takes the whole-batch static fast path
+    ids_one = np.tile(np.asarray(sig_a, np.int32)[:, None], (1, b))
+    got1 = runner.call_superset(img, ids_one, params, layout)
+    exp1 = pallas_apply_filter_chain(
+        img, jnp.asarray(ids_one), params, filters, tile=(32, 128),
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(exp1),
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_warmup_superset_precompiles_layout(rng, cfg, filters):
+    """warmup_superset compiles the frozen multi program + merge; a
+    live call_superset batch inside the budget touches no new one."""
+    from exposure_tpu.ops.pallas_chain import GroupedChainRunner
+    k = 3
+    sig_a = (0, 1, 2)
+    sig_b = (2, 0, 1)
+    runner = GroupedChainRunner(filters, interpret=True)
+    layout = ((sig_a, 8), (sig_b, 8))
+    n = runner.warmup_superset(layout, (12, 64, 128, 3), jnp.float32,
+                               k, max_filter_parameters(filters),
+                               merge_sizes=(8,))
+    assert n == 2  # multi + merge
+    n_before = len(runner._fns)
+    cols = [sig_a] * 7 + [sig_b] * 3 + [(1, 1, 0)] * 2
+    ids = np.asarray(cols, np.int32).T
+    img = jnp.asarray(rng.rand(12, 64, 128, 3).astype(np.float32) * 0.9)
+    params = jnp.asarray(
+        rng.randn(k, 12, max_filter_parameters(filters))
+        .astype(np.float32))
+    got = runner.call_superset(img, ids, params, layout)
+    assert len(runner._fns) == n_before
+    expected = pallas_apply_filter_chain(
+        img, jnp.asarray(ids), params, filters, tile=(32, 128),
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               atol=1e-5, rtol=1e-4)

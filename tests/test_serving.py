@@ -257,3 +257,43 @@ def test_warmup_explicit_budget_and_modes(rng):
     rep_s = pipe_s.warmup(imgs)
     assert rep_s['kind'] == 'switch'
     assert rep_s['programs_compiled'] == 1
+
+
+def test_warmup_superset_one_dispatch_replay(rng):
+    # superset mode (round 4): warmup freezes a (sig, bucket) layout;
+    # subsequent replays route through call_superset and must be
+    # bit-identical to the per-(sig,bucket) accumulate path
+    cfg = load_config('test')
+    filters, policy, critic, value = build_models(cfg)
+    state, _ = init_train_state(cfg, policy, critic, value, 0)
+    imgs = (rng.rand(16, 64, 128, 3) * 255).astype(np.uint8)
+
+    pipe = RetouchPipeline(cfg, state, use_pallas=True, interpret=True,
+                           grouped=True, fused_set_limit=0)
+    rep = pipe.warmup(imgs, probe_batches=2, seed=0, superset=True)
+    assert rep['superset'] is True
+    ids, params, mask = pipe._plan_for(jnp.asarray(imgs),
+                                       jax.random.PRNGKey(0), idx=1)
+    if pipe._superset_layout is None:
+        # tiny test policy planned single-signature probes: freeze a
+        # layout by hand so the multi-sig routing path still runs —
+        # split the planned batch into two synthetic signatures
+        idh = np.asarray(ids).copy()
+        nf = len(pipe.filters)
+        idh[0, 8:] = (idh[0, 8:] + 1) % nf
+        ids = jnp.asarray(idh)
+        sig_a = tuple(int(x) for x in idh[:, 0])
+        sig_b = tuple(int(x) for x in idh[:, 8])
+        pipe.freeze_superset([(sig_a, 8), (sig_b, 8)])
+    out = pipe._replay(jnp.asarray(imgs), ids, params, mask)
+    assert out.shape == imgs.shape
+    n_before = len(pipe._runner._fns)
+    out_again = pipe._replay(jnp.asarray(imgs), ids, params, mask)
+    np.testing.assert_array_equal(out, out_again)
+    assert len(pipe._runner._fns) == n_before, (
+        'repeat superset traffic compiled new programs')
+    # equality vs the accumulate-path pipeline on the same plan
+    pipe2 = RetouchPipeline(cfg, state, use_pallas=True, interpret=True,
+                            grouped=True, fused_set_limit=0)
+    out2 = pipe2._replay(jnp.asarray(imgs), ids, params, mask)
+    np.testing.assert_array_equal(out, out2)
