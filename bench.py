@@ -210,10 +210,17 @@ def bench_stream(batch, res, u8=True, run=None, bf16=False,
     n_small, n_big, rounds = 10, 40, 2
     if superset:
         # freeze the one-dispatch-per-batch fused layout from recorded
-        # probe plans (core/serving.py warmup(superset=True)); probes
-        # use the same key sequence as the stream's first batches
-        wrep = pipe.warmup(imgs, probe_batches=2 * depth, seed=0,
-                           superset=True)
+        # probe plans (core/serving.py warmup(superset=True)).  Every
+        # run_n() span restarts the dropout-key sequence at 0, so
+        # probing the largest span's key range GUARANTEES the layout
+        # covers all timed traffic (uncovered signatures would each pay
+        # a per-batch merged switch call).  Measured: trained policies'
+        # signature universes are small enough that 16 probes already
+        # found every slot (explore/best froze 14 slots either way,
+        # 12.1k vs 12.3k img/s — tunnel noise), so the wider probe set
+        # costs only AOT seconds and buys the guarantee.
+        wrep = pipe.warmup(imgs, probe_batches=n_big + 2 * depth,
+                           seed=0, superset=True)
         print('# superset: %d slots, %d programs in %.1f s'
               % (len(wrep.get('budget', [])),
                  wrep['programs_compiled'], wrep['warmup_seconds']),
