@@ -354,14 +354,20 @@ class RetouchPipeline:
             warmup_seconds=round(time.time() - t0, 1))
         return report
 
-    def __call__(self, images, seed=0):
-        """Retouch a [B, H, W, 3] batch (uint8 or float32 linear)."""
+    def __call__(self, images, seed=0, device_out=False):
+        """Retouch a [B, H, W, 3] batch (uint8 or float32 linear).
+
+        ``device_out=True`` returns the device array without the
+        host fetch (the caller controls when/what to transfer —
+        through a remote-accelerator tunnel the full-batch fetch can
+        dominate end-to-end latency by minutes)."""
         images = jnp.asarray(images)
         key = jax.random.PRNGKey(seed)
         if self.grouped:
             ids, params, mask = self._plan_for(images, key)
-            return self._replay(images, ids, params, mask)
-        return self._single_jit(images, key)
+            return self._replay(images, ids, params, mask,
+                                device_out=device_out)
+        return self._single_jit(images, key, device_out=device_out)
 
     def map_batches(self, batches, seed=0, depth=8, device_out=False):
         """Retouch a STREAM of equally-shaped batches, deep-pipelined.
