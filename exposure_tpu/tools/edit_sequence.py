@@ -60,7 +60,8 @@ def pack_trajectory(debug, filters):
         ids[i, 0] = step['filter_id']
         fp = np.asarray(step['filter_parameters'], np.float32)
         params[i, 0, :fp.shape[0]] = fp
-        mp = np.asarray(step['mask_parameters'], np.float32)
+        # unmasked runs' debug pickles may omit mask_parameters
+        mp = np.asarray(step.get('mask_parameters', ()), np.float32)
         if mp.size:
             masks[i, 0, :mp.shape[0]] = mp
         active[i, 0] = 1.0 if step['applied'] else 0.0

@@ -354,10 +354,10 @@ class TestEditSequence:
              'mask_parameters': np.zeros((0,), np.float32),
              'pdf': np.zeros((len(filters),), np.float32),
              'applied': True},
+            # no mask_parameters key: unmasked runs' pickles omit it
             {'step': 1, 'filter_id': fid, 'short_name': names[fid],
              'all_short_names': names,
              'filter_parameters': np.asarray([0.5], np.float32),
-             'mask_parameters': np.zeros((0,), np.float32),
              'pdf': np.zeros((len(filters),), np.float32),
              'applied': False},
         ]
