@@ -25,6 +25,19 @@ def test_uint8_roundtrip(pipeline, rng):
     assert out.dtype == np.uint8
 
 
+def test_device_out_matches_fetched(pipeline, rng):
+    # __call__(device_out=True) returns the device array un-fetched
+    # (round 4: warmup_serving latency excludes the tunnel transfer);
+    # values must equal the host-fetched path bit-for-bit
+    import jax
+    imgs = (rng.rand(2, 64, 128, 3) * 255).astype(np.uint8)
+    dev = pipeline(imgs, seed=7, device_out=True)
+    assert isinstance(dev, jax.Array)
+    host = pipeline(imgs, seed=7)
+    assert isinstance(host, np.ndarray)
+    np.testing.assert_array_equal(np.asarray(dev), host)
+
+
 def test_float_input(pipeline, rng):
     cfg = load_config('test')
     filters, policy, critic, value = build_models(cfg)
