@@ -31,6 +31,8 @@ Options:
 >>> out_u8 = pipe(np.stack(imgs_u8))              # [B, H, W, 3] uint8
 """
 
+import collections
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -50,7 +52,9 @@ class RetouchPipeline:
 
     def __init__(self, cfg, state, use_pallas=None, interpret=False,
                  bf16=False, grouped=None, fast_math=True,
-                 fused_set_limit=None, dynamic=None):
+                 fused_set_limit=None, dynamic=None,
+                 auto_superset=False, auto_record_batches=8,
+                 auto_drift_window=8, auto_drift_threshold=1.0 / 16.0):
         self.cfg = cfg
         self.filters, self.policy, _, _ = build_models(cfg)
         self.state = state
@@ -98,6 +102,26 @@ class RetouchPipeline:
         # replay (GroupedChainRunner.call_superset); recorded by
         # warmup(superset=True) or set directly via freeze_superset()
         self._superset_layout = None
+        # AUTO superset (round 4+): record the live traffic's
+        # (signature, count) stats for ``auto_record_batches`` batches,
+        # freeze the layout from them, then monitor drift — the
+        # fraction of rows each batch sends through the merged
+        # switch-kernel fallback (signature missing from the layout or
+        # overflowing its slot).  When the rolling mean over
+        # ``auto_drift_window`` batches exceeds ``auto_drift_threshold``
+        # the layout is re-frozen from the stats gathered SINCE the last
+        # freeze (i.e. the drifted mix).  A re-freeze costs one fused-
+        # program compile, so the threshold trades steady-state
+        # throughput against compile churn; the default only fires when
+        # >6% of rows pay the every-branch merge kernel.
+        self._ss_auto = bool(auto_superset) and self.grouped
+        self._ss_record_batches = int(auto_record_batches)
+        self._ss_window = int(auto_drift_window)
+        self._ss_threshold = float(auto_drift_threshold)
+        self._ss_stats = {}
+        self._ss_seen = 0
+        self._ss_refreezes = 0
+        self._ss_drift = collections.deque(maxlen=self._ss_window)
 
     def freeze_superset(self, layout):
         """Freeze a (signature, bucket) slot layout: every subsequent
@@ -110,6 +134,74 @@ class RetouchPipeline:
         self._superset_layout = tuple(
             (tuple(int(x) for x in sig), int(size))
             for sig, size in sorted(layout))
+
+    # -- auto superset: record -> freeze -> monitor drift -> re-freeze --
+    @staticmethod
+    def _sig_counts(idh):
+        """Per-signature image counts of a host-side [K, B] ids array
+        (identity-masked, same contract as GroupedChainRunner)."""
+        cols = np.ascontiguousarray(idh.astype(np.int64, copy=False).T)
+        uniq, counts = np.unique(cols, axis=0, return_counts=True)
+        return {tuple(int(x) for x in uniq[g]): int(counts[g])
+                for g in range(len(uniq))}
+
+    def _ss_uncovered(self, counts, batch):
+        """Fraction of this batch's rows the frozen layout cannot place
+        (missing signature, or overflow past the slot's bucket) — these
+        rows pay the every-branch merged switch kernel."""
+        slot = dict(self._superset_layout)
+        miss = sum(n if sig not in slot else max(0, n - slot[sig])
+                   for sig, n in counts.items())
+        return miss / float(batch)
+
+    def _ss_freeze_from_stats(self):
+        from exposure_tpu.ops.pallas_chain import _bucket_size
+        # one bucket step of headroom above the observed per-sig max,
+        # same trade as warmup(superset=True): padded slots are
+        # DMA-only, overflow pays the merge kernel
+        layout = tuple(sorted(
+            (sig, _bucket_size(n_max + 1))
+            for sig, n_max in self._ss_stats.items()))
+        self.freeze_superset(layout)
+        self._ss_stats = {}
+        self._ss_seen = 0
+        self._ss_drift.clear()
+
+    def _ss_observe(self, idh):
+        counts = self._sig_counts(idh)
+        for sig, n in counts.items():
+            if self._ss_stats.get(sig, 0) < n:
+                self._ss_stats[sig] = n
+        self._ss_seen += 1
+        if self._superset_layout is None:
+            if self._ss_seen >= self._ss_record_batches:
+                self._ss_freeze_from_stats()
+            return
+        self._ss_drift.append(self._ss_uncovered(counts, idh.shape[1]))
+        if (len(self._ss_drift) == self._ss_window and
+                sum(self._ss_drift) / self._ss_window >
+                self._ss_threshold):
+            # the mix drifted away from the frozen layout: re-freeze
+            # from the stats gathered since the freeze (>= window
+            # batches of the NEW mix), accepting one fused re-compile
+            self._ss_freeze_from_stats()
+            self._ss_refreezes += 1
+
+    def superset_report(self):
+        """Auto-superset state for logging/benchmarks."""
+        return {
+            'auto': self._ss_auto,
+            'frozen_slots': (None if self._superset_layout is None
+                             else len(self._superset_layout)),
+            'layout': (None if self._superset_layout is None else
+                       [[list(sig), size]
+                        for sig, size in self._superset_layout]),
+            'batches_since_freeze': self._ss_seen,
+            'refreezes': self._ss_refreezes,
+            'drift_mean': (round(sum(self._ss_drift) /
+                                 len(self._ss_drift), 4)
+                           if self._ss_drift else None),
+        }
 
     @classmethod
     def from_run(cls, cfg, model_root='models', ckpt=None, **kwargs):
@@ -214,6 +306,9 @@ class RetouchPipeline:
 
     def _replay(self, images, ids, params, mask, device_out=False):
         masking = bool(self.cfg.masking)
+        if self._ss_auto:
+            ids = np.asarray(ids)  # one host copy, reused below
+            self._ss_observe(ids)
         if self._superset_layout is not None:
             out = self._runner.call_superset(
                 images, np.asarray(ids), params,
@@ -400,7 +495,6 @@ class RetouchPipeline:
                 yield self._single_jit(jnp.asarray(imgs), base, idx=i,
                                        device_out=device_out)
             return
-        import collections
         from concurrent.futures import ThreadPoolExecutor
         base = jax.random.PRNGKey(seed)
         it = iter(batches)

@@ -67,6 +67,7 @@ _SLOW_NODES = (
     "test_pallas_chain.py::test_superset_routing_matches_switch",
     "test_pallas_chain.py::test_warmup_superset_precompiles_layout",
     "test_serving.py::test_warmup_superset_one_dispatch_replay",
+    "test_serving.py::test_auto_superset_stream_matches_grouped",
     "test_tools.py::TestSelectPolicy::test_select_end_to_end_with_promote",
     "test_tools.py::TestEditSequence",
     "test_fivek_path.py::test_import_validator",

@@ -272,6 +272,71 @@ def test_warmup_explicit_budget_and_modes(rng):
     assert rep_s['programs_compiled'] == 1
 
 
+def test_auto_superset_record_freeze_drift_logic():
+    # auto-superset state machine (round 4+), driven through
+    # _ss_observe with hand-built id arrays (no replay/compile):
+    # record N batches -> freeze with +1-bucket headroom -> drift past
+    # the threshold over a full window -> re-freeze on the new mix.
+    cfg = load_config('test')
+    filters, policy, critic, value = build_models(cfg)
+    state, _ = init_train_state(cfg, policy, critic, value, 0)
+    pipe = RetouchPipeline(cfg, state, use_pallas=True, interpret=True,
+                           grouped=True, fused_set_limit=0,
+                           auto_superset=True, auto_record_batches=2,
+                           auto_drift_window=3,
+                           auto_drift_threshold=0.25)
+    assert pipe._ss_auto
+    k, b = cfg.test_steps, 16
+    ids_a = np.zeros((k, b), np.int32)
+    ids_a[:, 10:] = 1  # two signatures: 10 rows sig-A, 6 rows sig-B
+    pipe._ss_observe(ids_a)
+    assert pipe._superset_layout is None  # still recording
+    pipe._ss_observe(ids_a)
+    layout = dict(pipe._superset_layout)  # frozen after 2 batches
+    sig_a = tuple([0] * k)
+    sig_b = tuple([1] * k)
+    # buckets step ONE above the observed max (headroom): 10 -> 12, 6 -> 8
+    assert layout == {sig_a: 12, sig_b: 8}
+    # same-mix traffic: no drift, no refreeze
+    for _ in range(4):
+        pipe._ss_observe(ids_a)
+    assert pipe._ss_refreezes == 0
+    assert dict(pipe._superset_layout) == layout
+    # drifted mix: a new signature owns the whole batch
+    ids_c = np.full((k, b), 2, np.int32)
+    for _ in range(3):
+        pipe._ss_observe(ids_c)
+    assert pipe._ss_refreezes == 1
+    new_layout = dict(pipe._superset_layout)
+    sig_c = tuple([2] * k)
+    assert sig_c in new_layout and new_layout[sig_c] >= b
+    rep = pipe.superset_report()
+    assert rep['auto'] and rep['refreezes'] == 1
+    assert rep['frozen_slots'] == len(new_layout)
+
+
+def test_auto_superset_stream_matches_grouped(rng):
+    # integration: an auto-superset pipeline must freeze mid-stream and
+    # keep producing outputs IDENTICAL to the plain grouped pipeline
+    # on the same plans (the freeze changes routing, never values)
+    cfg = load_config('test')
+    filters, policy, critic, value = build_models(cfg)
+    state, _ = init_train_state(cfg, policy, critic, value, 0)
+    imgs = (rng.rand(16, 64, 128, 3) * 255).astype(np.uint8)
+    auto = RetouchPipeline(cfg, state, use_pallas=True, interpret=True,
+                           grouped=True, fused_set_limit=0,
+                           auto_superset=True, auto_record_batches=2)
+    plain = RetouchPipeline(cfg, state, use_pallas=True, interpret=True,
+                            grouped=True, fused_set_limit=0)
+    batches = [imgs] * 4
+    outs_a = list(auto.map_batches(iter(batches), seed=0, depth=2))
+    outs_p = list(plain.map_batches(iter(batches), seed=0, depth=2))
+    assert auto._superset_layout is not None  # froze mid-stream
+    assert auto._ss_refreezes == 0
+    for a, p in zip(outs_a, outs_p):
+        np.testing.assert_array_equal(a, p)
+
+
 def test_warmup_superset_one_dispatch_replay(rng):
     # superset mode (round 4): warmup freezes a (sig, bucket) layout;
     # subsequent replays route through call_superset and must be
