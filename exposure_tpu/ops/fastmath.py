@@ -13,15 +13,20 @@ budget is 1e-4):
                    kernels: Mosaic's cos costs 26.5 ms vs 4.5 ms for
                    the polynomial on a 256x512^2x5-step batch — 5.9x.
 - curve_relu:      the reference 8-knot curve (filters.py:306-322)
-                   rewritten as a telescoped relu sum — EXACT math
-                   (same piecewise-linear function, fewer clamps);
-                   ~8% faster than the clip form on device.  USED.
+                   rewritten as a telescoped max() sum with the
+                   per-knot constants folded into scalars — EXACT math
+                   (same piecewise-linear function, 3 vector ops/knot
+                   vs 5 for the clip form); Tone branch 14.0 -> 10.1 ms
+                   on device.  USED.
 - fast_pow / fast_exp2 / fast_log2: polynomial exp2(g log2 x);
                    |err| <= ~4e-5 for outputs in [0, 1.2], exponents
                    in [1/3, 3] (the gamma range).  NOT wired into the
-                   kernels: Mosaic's builtin pow measured FASTER
-                   (9.5 ms vs 11.0 ms) — kept as a library with tests
-                   because the tradeoff is toolchain-dependent.
+                   kernels (10.85 ms) — but the BUILTIN composition
+                   jnp.exp2(g*jnp.log2(x)) measured 5.0x faster than
+                   jnp.power (1.92 vs 9.66 ms) and IS the fast gamma
+                   (ops/pallas_chain.py::_gamma_fast); the polynomial
+                   stays as a library because the tradeoff is
+                   toolchain-dependent.
 - fast_rcp:        Newton iterations from the classic bit-trick seed;
                    relative error <= ~1e-6.  NOT wired in: hardware
                    f32 divide measured 1.6x FASTER than the Newton
@@ -99,18 +104,28 @@ def fast_rcp(x, iters=3):
 
 def curve_relu(x, knots, norm):
     """The reference piecewise-linear curve (filters.py:306-322)
-    rewritten with one relu per knot:
+    rewritten with one ``max`` per knot:
 
       sum_i t_i clip(x - i/K, 0, 1/K)
-        = sum_i (t_i - t_{i-1}) relu(x - i/K) - t_{K-1} relu(x - 1)
+        = sum_i d_i relu(x - c_i) - t_{K-1} relu(x - 1)     (telescoped)
+        = sum_i d_i max(x, c_i) - t_{K-1} max(x, 1) + C0    (max form)
+
+    with d_i = t_i - t_{i-1}, c_i = i/K, and
+    C0 = t_{K-1} - sum_i d_i c_i.  The max form drops the per-term
+    subtraction (relu(x-c) = max(x,c) - c, and the -d_i*c_i constants
+    fold into C0): 3 vector ops per knot instead of 4 — the
+    curve branches are the chain kernel's most expensive
+    (tools/bench_filters.py) and are pure VPU-compute-bound.
 
     ``knots`` are python/trace-time scalars (SMEM values in the
-    kernel), so the coefficient differences fold into scalars; ``norm``
+    kernel), so d_i and C0 fold into scalar-unit arithmetic; ``norm``
     is the K/sum(t) normalization."""
     k = len(knots)
     total = jnp.maximum(x, 0.0) * knots[0]
+    c0 = knots[k - 1]
     for i in range(1, k):
-        total = total + jnp.maximum(x - i / k, 0.0) * \
-            (knots[i] - knots[i - 1])
-    total = total - jnp.maximum(x - 1.0, 0.0) * knots[k - 1]
-    return total * norm
+        d = knots[i] - knots[i - 1]
+        total = total + jnp.maximum(x, i / k) * d
+        c0 = c0 - d * (i / k)
+    total = total - jnp.maximum(x, 1.0) * knots[k - 1]
+    return (total + c0) * norm

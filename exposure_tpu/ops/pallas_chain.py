@@ -108,24 +108,35 @@ def _saturation(r, g, b, p):
     # c -> v - (v-c)*(s2/s).  Gray pixels (range==0) take the explicit
     # hue-0 path of hsv_to_rgb (r=v, g=b=v*(1-s2)), matching
     # ops/color_space.py and reference tf.image semantics.
+    #
+    # ONE divide instead of two (round 4+; the VPU lowers f32 divide to
+    # a multi-op sequence, and this branch is compute-bound —
+    # tools/bench_filters.py): with k the saturation boost weight and
+    # s2 = s + (1-s)*k, algebra removes the s = rng/v divide entirely —
+    #   s2*v = (1-k)*rng + k*v        (v > 0; rng_pos handles v <= 0)
+    #   vg = v*(1-s2) = (1-k)*(v - rng_pos)
+    # so only the final ratio = s2*v/rng divide remains.
     r1 = jnp.minimum(r, 1.0)
     g1 = jnp.minimum(g, 1.0)
     b1 = jnp.minimum(b, 1.0)
     v = jnp.maximum(jnp.maximum(r1, g1), b1)
     mn = jnp.minimum(jnp.minimum(r1, g1), b1)
     rng = v - mn
-    safe_v = jnp.where(v > 0, v, 1.0)
-    s = jnp.where(v > 0, rng / safe_v, 0.0)
-    s2 = s + (1.0 - s) * (0.5 - jnp.abs(0.5 - v)) * 0.8
-    ratio = s2 * safe_v / jnp.where(rng > 0, rng, 1.0)
+    k = (0.5 - jnp.abs(0.5 - v)) * 0.8
+    one_m_k = 1.0 - k
+    vpos = v > 0
+    safe_v = jnp.where(vpos, v, 1.0)
+    rng_pos = jnp.where(vpos, rng, 0.0)
     gray = rng <= 0
+    ratio = (one_m_k * rng_pos + k * safe_v) / \
+        jnp.where(gray, 1.0, rng)
 
     def enhance(c, gray_val):
         full = jnp.where(gray, gray_val, v - (v - c) * ratio)
         t = p[0]
         return c * (1.0 - t) + full * t
 
-    vg = v * (1.0 - s2)
+    vg = one_m_k * (v - rng_pos)
     return enhance(r1, v), enhance(g1, vg), enhance(b1, vg)
 
 
@@ -133,13 +144,17 @@ def _saturation(r, g, b, p):
 # fast-math variants (ops/fastmath.py), chosen by ON-DEVICE measurement
 # (tools/bench_fastmath.py, 256x512^2 u8, slope-timed):
 #   cos:   builtin 26.5 ms vs sin-poly 4.5 ms  -> 5.9x, USED (Contrast)
-#   curve: clip-form 11.8 ms vs relu-form 10.9 -> 8%, USED (Tone/Color;
-#          the relu form is EXACT — same piecewise-linear function)
-#   pow:   builtin 9.5 ms vs poly exp2/log2 11.0 -> builtin wins, NOT used
+#   curve: clip 11.8 / relu 10.9 / max-form (3 ops/knot, constants
+#          folded into scalars) — EXACT same piecewise-linear function,
+#          USED (Tone 14.0 -> 10.1 ms, Color 14.8 -> 11.5 ms per-branch)
+#   pow:   builtin 9.66 ms vs explicit exp2(g*log2(x)) 1.92 ms -> 5.0x,
+#          USED (Gamma branch 13.0 -> 2.9 ms; the builtin's generic
+#          lowering pays for negative-base/edge handling).  The
+#          POLYNOMIAL exp2/log2 (10.85 ms) stays library-only.
 #   div:   builtin 2.8 ms vs Newton rcp 4.5     -> builtin wins, NOT used
-# Poly-cos error <= ~1e-6 — invisible after u8 quantization (1 LSB =
-# 1/255) and far inside the 1e-4 f32 verify budget
-# (tests/test_fastmath.py).
+# Poly-cos error <= ~1e-6, exp2log2 pow <= ~7e-6 — invisible after u8
+# quantization (1 LSB = 1/255) and far inside the 1e-4 f32 verify
+# budget (tests/test_fastmath.py).
 # ---------------------------------------------------------------------------
 
 
@@ -153,26 +168,45 @@ def _saturation_fast(r, g, b, p):
     onto the ratio path, changing the output by up to s2*v (~25 u8
     LSB).  Pixels with chroma below 2e-4 are perceptually gray (< 0.05
     u8 LSB of chroma), so pinning them to the hue-0 path is exact for
-    the manufactured case and harmless otherwise."""
+    the manufactured case and harmless otherwise.
+
+    Same one-divide algebra as ``_saturation`` (see its comment)."""
     r1 = jnp.minimum(r, 1.0)
     g1 = jnp.minimum(g, 1.0)
     b1 = jnp.minimum(b, 1.0)
     v = jnp.maximum(jnp.maximum(r1, g1), b1)
     mn = jnp.minimum(jnp.minimum(r1, g1), b1)
     rng = v - mn
-    safe_v = jnp.where(v > 0, v, 1.0)
-    s = jnp.where(v > 0, rng / safe_v, 0.0)
-    s2 = s + (1.0 - s) * (0.5 - jnp.abs(0.5 - v)) * 0.8
+    k = (0.5 - jnp.abs(0.5 - v)) * 0.8
+    one_m_k = 1.0 - k
+    vpos = v > 0
+    safe_v = jnp.where(vpos, v, 1.0)
+    rng_pos = jnp.where(vpos, rng, 0.0)
     gray = rng <= 2e-4 * safe_v
-    ratio = s2 * safe_v / jnp.where(gray, 1.0, rng)
+    ratio = (one_m_k * rng_pos + k * safe_v) / \
+        jnp.where(gray, 1.0, rng)
 
     def enhance(c, gray_val):
         full = jnp.where(gray, gray_val, v - (v - c) * ratio)
         t = p[0]
         return c * (1.0 - t) + full * t
 
-    vg = v * (1.0 - s2)
+    vg = one_m_k * (v - rng_pos)
     return enhance(r1, v), enhance(g1, vg), enhance(b1, vg)
+
+
+def _gamma_fast(r, g, b, p):
+    """Gamma via explicit exp2(g*log2(x)) — mathematically the same
+    function as ``jnp.power`` on the positive-clamped inputs, but
+    skips the general pow lowering's negative-base/edge-case handling.
+    Differences vs the builtin are pure rounding (~1-2 ulp).
+    Measured ON-DEVICE 5.0x cheaper (tools/bench_fastmath.py --only
+    pow: builtin 9.66 ms vs exp2log2 1.92 ms per 256x512^2 u8 batch,
+    5 steps; err vs float64 <= ~7e-6 across the gamma range)."""
+    gm = p[0]
+    return (jnp.exp2(gm * jnp.log2(jnp.maximum(r, 0.001))),
+            jnp.exp2(gm * jnp.log2(jnp.maximum(g, 0.001))),
+            jnp.exp2(gm * jnp.log2(jnp.maximum(b, 0.001))))
 
 
 def _contrast_fast(r, g, b, p):
@@ -222,6 +256,7 @@ _PLANAR_IMPL = {
 
 _PLANAR_IMPL_FAST = dict(_PLANAR_IMPL)
 _PLANAR_IMPL_FAST.update({
+    'GammaFilter': lambda cfg: _gamma_fast,
     'SaturationPlusFilter': lambda cfg: _saturation_fast,
     'ToneFilter': lambda cfg: _tone_fast(cfg.curve_steps),
     'ContrastFilter': lambda cfg: _contrast_fast,

@@ -59,6 +59,16 @@ def op_pow_fast(c):
     return fm.fast_pow(jnp.maximum(c, 0.001), 0.7)
 
 
+def op_pow_exp2log2(c):
+    # same function as the builtin on positive inputs, but skips the
+    # general pow lowering's negative-base/edge-case handling
+    return jnp.exp2(0.7 * jnp.log2(jnp.maximum(c, 0.001)))
+
+
+def op_pow_explog(c):
+    return jnp.exp(0.7 * jnp.log(jnp.maximum(c, 0.001)))
+
+
 def op_cos_builtin(c):
     return -jnp.cos(jnp.pi * jnp.clip(c, 0.0, 1.0)) * 0.5 + 0.5
 
@@ -93,6 +103,8 @@ OPS = {
     'copy': op_copy,
     'pow_builtin': op_pow_builtin,
     'pow_fast': op_pow_fast,
+    'pow_exp2log2': op_pow_exp2log2,
+    'pow_explog': op_pow_explog,
     'cos_builtin': op_cos_builtin,
     'cos_fast': op_cos_fast,
     'div_builtin': op_div_builtin,
@@ -135,6 +147,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--batch', type=int, default=256)
     parser.add_argument('--res', type=int, default=512)
+    parser.add_argument('--only', default=None,
+                        help='comma-separated op-name substrings to run')
     args = parser.parse_args()
     rng = np.random.RandomState(0)
     img = jnp.asarray((rng.rand(args.batch, 3, args.res, args.res) * 200
@@ -142,7 +156,10 @@ def main():
 
     # numeric sanity on-device (f32 path via dequantized u8 grid)
     report = {}
+    subs = args.only.split(',') if args.only else None
     for name, op in OPS.items():
+        if subs and not any(s in name for s in subs):
+            continue
         fn = jax.jit(lambda x, o=op: run_op(x, o))
         dt = serialized_time(fn, img)
         report[name + '_ms'] = round(dt * 1000, 2)
