@@ -122,6 +122,16 @@ class RetouchPipeline:
         self._ss_seen = 0
         self._ss_refreezes = 0
         self._ss_drift = collections.deque(maxlen=self._ss_window)
+        # re-freeze compile offload: traffic shapes recorded by _replay,
+        # a ThreadPoolExecutor warms the new fused program OFF the hot
+        # path, and the swap happens once it is compiled (see
+        # _ss_refreeze) — an inline freeze would stall the stream for
+        # the full remote-compile latency (multi-minute through the
+        # tunnel)
+        self._ss_shape_info = None
+        self._ss_warm_exec = None
+        self._ss_warm_pending = None
+        self._ss_next_layout = None
 
     def freeze_superset(self, layout):
         """Freeze a (signature, bucket) slot layout: every subsequent
@@ -149,25 +159,72 @@ class RetouchPipeline:
         """Fraction of this batch's rows the frozen layout cannot place
         (missing signature, or overflow past the slot's bucket) — these
         rows pay the every-branch merged switch kernel."""
+        if len(counts) == 1:
+            # single-signature batches never touch the layout at all:
+            # call_superset early-returns them through the whole-batch
+            # static kernel (cached per signature), so no merge-kernel
+            # cost is being paid and a re-freeze would buy nothing
+            return 0.0
         slot = dict(self._superset_layout)
         miss = sum(n if sig not in slot else max(0, n - slot[sig])
                    for sig, n in counts.items())
         return miss / float(batch)
 
-    def _ss_freeze_from_stats(self):
+    def _ss_layout_from_stats(self):
         from exposure_tpu.ops.pallas_chain import _bucket_size
-        # one bucket step of headroom above the observed per-sig max,
-        # same trade as warmup(superset=True): padded slots are
-        # DMA-only, overflow pays the merge kernel
-        layout = tuple(sorted(
-            (sig, _bucket_size(n_max + 1))
+        # one FULL bucket step of headroom above the observed per-sig
+        # max (bucket the raw max first, then step — matching
+        # warmup(superset=True), which steps from an already-bucketed
+        # max): padded slots are DMA-only, overflow pays the
+        # every-branch merge kernel, so headroom is the cheap side
+        return tuple(sorted(
+            (sig, _bucket_size(_bucket_size(n_max) + 1))
             for sig, n_max in self._ss_stats.items()))
+
+    def _ss_apply_layout(self, layout, refreeze=False):
         self.freeze_superset(layout)
         self._ss_stats = {}
         self._ss_seen = 0
         self._ss_drift.clear()
+        if refreeze:
+            self._ss_refreezes += 1
+
+    def _ss_refreeze(self):
+        """The mix drifted away from the frozen layout.  A re-freeze
+        means one fused-program compile — taken inline on the hot path
+        that is a multi-minute stream stall through a remote tunnel —
+        so when the traffic shapes are known the new layout is warmed
+        on a side thread (the stream keeps replaying through the OLD
+        layout + merge fallback meanwhile) and swapped in by
+        ``_ss_observe`` once compiled.  Inline freeze otherwise
+        (logic-only callers that never replayed)."""
+        layout = self._ss_layout_from_stats()
+        if self._ss_shape_info is None or self._runner is None:
+            self._ss_apply_layout(layout, refreeze=True)
+            return
+        img_shape, dtype, num_steps, max_p, mask_p = self._ss_shape_info
+        masking = bool(self.cfg.masking)
+        if self._ss_warm_exec is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._ss_warm_exec = ThreadPoolExecutor(
+                1, thread_name_prefix='ss-warm')
+        runner = self._runner
+
+        def warm():
+            runner.warmup_superset(
+                layout, img_shape, dtype, num_steps, max_p,
+                masked=masking, mask_p=mask_p)
+            return layout
+
+        self._ss_warm_pending = self._ss_warm_exec.submit(warm)
 
     def _ss_observe(self, idh):
+        if (self._ss_warm_pending is not None
+                and self._ss_warm_pending.done()):
+            # background warm finished: swap the new layout in (its
+            # fused program is already compiled — the swap is free)
+            fut, self._ss_warm_pending = self._ss_warm_pending, None
+            self._ss_apply_layout(fut.result(), refreeze=True)
         counts = self._sig_counts(idh)
         for sig, n in counts.items():
             if self._ss_stats.get(sig, 0) < n:
@@ -175,17 +232,16 @@ class RetouchPipeline:
         self._ss_seen += 1
         if self._superset_layout is None:
             if self._ss_seen >= self._ss_record_batches:
-                self._ss_freeze_from_stats()
+                self._ss_apply_layout(self._ss_layout_from_stats())
             return
         self._ss_drift.append(self._ss_uncovered(counts, idh.shape[1]))
-        if (len(self._ss_drift) == self._ss_window and
+        if (self._ss_warm_pending is None and
+                len(self._ss_drift) == self._ss_window and
                 sum(self._ss_drift) / self._ss_window >
                 self._ss_threshold):
-            # the mix drifted away from the frozen layout: re-freeze
-            # from the stats gathered since the freeze (>= window
-            # batches of the NEW mix), accepting one fused re-compile
-            self._ss_freeze_from_stats()
-            self._ss_refreezes += 1
+            # re-freeze from the stats gathered since the freeze (>=
+            # window batches of the NEW mix), one fused re-compile
+            self._ss_refreeze()
 
     def superset_report(self):
         """Auto-superset state for logging/benchmarks."""
@@ -198,6 +254,7 @@ class RetouchPipeline:
                         for sig, size in self._superset_layout]),
             'batches_since_freeze': self._ss_seen,
             'refreezes': self._ss_refreezes,
+            'refreeze_warm_pending': self._ss_warm_pending is not None,
             'drift_mean': (round(sum(self._ss_drift) /
                                  len(self._ss_drift), 4)
                            if self._ss_drift else None),
@@ -308,6 +365,10 @@ class RetouchPipeline:
         masking = bool(self.cfg.masking)
         if self._ss_auto:
             ids = np.asarray(ids)  # one host copy, reused below
+            self._ss_shape_info = (
+                tuple(images.shape), images.dtype,
+                int(params.shape[0]), int(params.shape[-1]),
+                int(mask.shape[-1]) if masking else 1)
             self._ss_observe(ids)
         if self._superset_layout is not None:
             out = self._runner.call_superset(

@@ -295,21 +295,30 @@ def test_auto_superset_record_freeze_drift_logic():
     layout = dict(pipe._superset_layout)  # frozen after 2 batches
     sig_a = tuple([0] * k)
     sig_b = tuple([1] * k)
-    # buckets step ONE above the observed max (headroom): 10 -> 12, 6 -> 8
-    assert layout == {sig_a: 12, sig_b: 8}
+    # buckets step one FULL bucket above the observed max (same
+    # headroom trade as warmup(superset=True)): 10 -> 16, 6 -> 12
+    assert layout == {sig_a: 16, sig_b: 12}
     # same-mix traffic: no drift, no refreeze
     for _ in range(4):
         pipe._ss_observe(ids_a)
     assert pipe._ss_refreezes == 0
     assert dict(pipe._superset_layout) == layout
-    # drifted mix: a new signature owns the whole batch
+    # a SINGLE-signature batch with an unknown signature is NOT drift:
+    # call_superset routes it through the whole-batch static kernel,
+    # never the merge fallback, so no re-freeze should fire on it
+    ids_single = np.full((k, b), 3, np.int32)
+    for _ in range(4):
+        pipe._ss_observe(ids_single)
+    assert pipe._ss_refreezes == 0
+    # drifted MULTI-signature mix: two new signatures own the batch
     ids_c = np.full((k, b), 2, np.int32)
+    ids_c[:, 10:] = 4
     for _ in range(3):
         pipe._ss_observe(ids_c)
     assert pipe._ss_refreezes == 1
     new_layout = dict(pipe._superset_layout)
     sig_c = tuple([2] * k)
-    assert sig_c in new_layout and new_layout[sig_c] >= b
+    assert sig_c in new_layout and new_layout[sig_c] >= 10
     rep = pipe.superset_report()
     assert rep['auto'] and rep['refreezes'] == 1
     assert rep['frozen_slots'] == len(new_layout)
