@@ -27,9 +27,21 @@ without targets — the median per-critic output spread relative to each
 critic's own output-vs-raw-inputs gap
 (``probe_critic_family.family_separation``; ~0.20 on the recorded
 family-split pool vs ~20x smaller within one family).  Below
-``ABSTAIN_THRESHOLD`` the verdict is ``abstain``: no winner is
-declared and consensus promotion refuses (truth promotion still
-works).
+``ABSTAIN_THRESHOLD`` the verdict is ``abstain``: consensus declares no
+winner.
+
+COMP2 FALLBACK (round 5): when consensus abstains, the tool falls back
+to the ``comp2`` target-free WITHIN-family discriminant — the rank-mean
+of (-final_emd, -Ct-usage), validated retrospectively on 9 recorded
+campaign pools and prospectively (pre-registered) on a fresh
+inject15 5-seed pool (SELECT_R5.json; tools/validate_selector.py):
+Spearman >=0.6 on 5/9 pools and regret 0.000/0.000/0.003 on the three
+injection-family pools the shipped reliability workflow produces.  Both
+signals are free at selection time: ``final_emd`` is the critic's
+real/fake Wasserstein gap from the run's own metrics.jsonl, and
+Ct-usage is counted from the trajectories this tool already plans on
+the held-out inputs.  ``--promote`` therefore always has a target-free
+winner: consensus when the pool splits by family, comp2 within one.
 
 This tool runs that selection end-to-end:
 
@@ -67,7 +79,23 @@ from exposure_tpu.tools.probe_critic_family import (
     consensus_ranking,
     family_separation,
 )
+from exposure_tpu.tools.validate_selector import rankdata
 from exposure_tpu.utils.config import load_config
+
+
+def comp2_scores(runs, ct_usage, final_emd):
+    """Rank-mean of (-final_emd, -Ct-usage); higher = pick first.
+
+    The shipped within-family selector (SELECT_R5.json): the two
+    components fail on DISJOINT pools (emd tracks convergence quality,
+    Ct-usage the Ct-everywhere lock-in), so the rank-mean covers both.
+    """
+    n = len(runs)
+    mean = np.zeros(n)
+    for sig in (np.array([-final_emd[r] for r in runs]),
+                np.array([-float(ct_usage[r]) for r in runs])):
+        mean += (n + 1) - rankdata(sig)  # rank 1 = best
+    return {r: -float(mean[i]) / 2.0 for i, r in enumerate(runs)}
 
 
 def score_matrix(runs, evs, outputs):
@@ -99,11 +127,12 @@ def main():
                     help='a validate_parity JSON covering the same runs: '
                          'cross-check the consensus ranking against the '
                          'measured quality ordering (Spearman)')
-    ap.add_argument('--promote-by', choices=('consensus', 'truth'),
+    ap.add_argument('--promote-by', choices=('consensus', 'truth', 'comp2'),
                     default='consensus',
                     help='which winner --promote points at (truth '
-                         'requires --truth; use it for within-family '
-                         'pools, see module docstring)')
+                         'requires --truth; consensus falls back to '
+                         'comp2 automatically on abstain; comp2 forces '
+                         'the within-family discriminant)')
     args = ap.parse_args()
     if args.promote_by == 'truth' and not args.truth:
         ap.error('--promote-by truth requires --truth')
@@ -116,6 +145,7 @@ def main():
     # critic's output-vs-input gap calibrates the scale of its
     # preferences (family_separation docstring)
     evs, outputs = [], {'inputs': inputs}
+    ct_usage, final_emd = {}, {}
     for run in args.runs:
         cfg = load_config(args.config)
         cfg.name = '%s/%s' % (args.config, run)
@@ -123,6 +153,22 @@ def main():
         traj, _ = ev.plan_trajectory(inputs, jax.random.PRNGKey(0))
         outputs['out:' + run] = np.clip(ev.retouch(inputs, traj), 0.0, 1.0)
         evs.append(ev)
+        # comp2 signals (free at selection time): Ct usage on the
+        # held-out plan, final critic EMD from the run's own metrics
+        ids = np.asarray(traj.filter_ids)
+        active = np.asarray(ev.active_mask(traj)) > 0
+        short = [f.get_short_name() for f in ev.filters]
+        ct = short.index('Ct') if 'Ct' in short else None
+        ct_usage[run] = (int(((ids == ct) & active).sum())
+                         if ct is not None else 0)
+        mpath = os.path.join(args.model_root, cfg.name, 'metrics.jsonl')
+        final_emd[run] = float('nan')
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                lines = f.readlines()
+            if lines:
+                final_emd[run] = float(
+                    json.loads(lines[-1]).get('emd', float('nan')))
 
     matrix = score_matrix(args.runs, evs, outputs)
     out_names = ['out:' + r for r in args.runs]
@@ -134,11 +180,16 @@ def main():
           % [n[len('out:'):] for n in ranking])
     print('# family separation: %.3f (abstain threshold %.2f)'
           % (separation, ABSTAIN_THRESHOLD))
+    comp2 = comp2_scores(args.runs, ct_usage, final_emd)
+    comp2_ranking = sorted(args.runs, key=lambda r: -comp2[r])
+    comp2_winner = comp2_ranking[0]
     if abstain:
         print('# verdict: ABSTAIN — pool shows no family split; '
               'within-family ordering is not recoverable by critic '
-              'consensus (measured Spearman -0.70, SELECT.json r3). '
-              'Use --truth / --promote-by truth if a target set exists.')
+              'consensus (measured Spearman -0.70, SELECT.json r3).')
+        print('# comp2 fallback (rank-mean of -emd, -Ct-usage; '
+              'SELECT_R5.json): %s -> winner %s/%s'
+              % (comp2_ranking, args.config, comp2_winner))
     else:
         print('# winner: %s/%s' % (args.config, winner))
 
@@ -155,7 +206,14 @@ def main():
             c: round(v, 4) for c, v in sep_per_critic.items()},
         'abstain_threshold': ABSTAIN_THRESHOLD,
         'verdict': 'abstain' if abstain else 'rank',
-        'winner': None if abstain else winner,
+        'winner': comp2_winner if abstain else winner,
+        'winner_by': 'comp2' if abstain else 'consensus',
+        'comp2': {
+            'ranking': comp2_ranking,
+            'scores': {r: round(comp2[r], 3) for r in args.runs},
+            'ct_usage': ct_usage,
+            'final_emd': {r: round(final_emd[r], 3) for r in args.runs},
+        },
     }
 
     if args.truth:
@@ -184,15 +242,13 @@ def main():
                 raise SystemExit('--promote-by truth: no overlapping '
                                  'runs found in %s' % args.truth)
             target = result['truth_winner']
-        elif abstain:
-            with open(args.out, 'w') as f:
-                json.dump(result, f, indent=1)
-            raise SystemExit(
-                'abstain: family separation %.3f < %.2f — consensus '
-                'cannot order a within-family pool (wrote %s; re-run '
-                'with --truth + --promote-by truth to promote by '
-                'measured quality)' % (separation, ABSTAIN_THRESHOLD,
-                                       args.out))
+        elif args.promote_by == 'comp2' or abstain:
+            if abstain and args.promote_by == 'consensus':
+                print('# abstain: family separation %.3f < %.2f — '
+                      'promoting the comp2 fallback winner'
+                      % (separation, ABSTAIN_THRESHOLD))
+            target = comp2_winner
+            result['winner_by'] = 'comp2'
         else:
             target = winner  # relative: same directory level
         link = os.path.join(args.model_root, args.config, args.promote)

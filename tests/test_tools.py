@@ -296,23 +296,29 @@ class TestSelectPolicy:
         from exposure_tpu.tools import select_policy as sp
         out = tmp_path / 'select.json'
         # identical checkpoints -> identical outputs -> ZERO family
-        # separation: consensus promotion must ABSTAIN (SystemExit),
-        # writing the result with verdict=abstain and no winner
+        # separation: consensus ABSTAINS and promotion falls back to
+        # the comp2 within-family discriminant (round 5, SELECT_R5.json)
         monkeypatch.setattr(sys, 'argv', [
             'prog', '--config', 'test', '--runs', 'seed0', 'seed1',
             '--n', '4', '--model-root', str(tmp_path),
             '--out', str(out), '--promote', 'best',
             '--truth', str(truth)])
-        with pytest.raises(SystemExit, match='abstain'):
-            sp.main()
+        sp.main()
         d = json.loads(out.read_text())
         assert d['verdict'] == 'abstain'
-        assert d['winner'] is None
         assert d['family_separation'] < d['abstain_threshold']
+        # comp2 fallback declares a winner (from the pool) + records
+        # its signals; promotion went through
+        assert d['winner_by'] == 'comp2'
+        assert d['winner'] in ('seed0', 'seed1')
+        assert d['comp2']['ranking'][0] == d['winner']
+        assert set(d['comp2']['ct_usage']) == {'seed0', 'seed1'}
+        link = tmp_path / 'test' / 'best'
+        assert link.is_symlink()
+        assert os.readlink(link) == d['winner']
         # the declared truth winner rides along for the truth path
         assert d['truth_winner'] == 'seed1'
         assert d['spearman_vs_truth'] == pytest.approx(-1.0)
-        assert not (tmp_path / 'test' / 'best').exists()
 
         # --promote-by truth works on an abstained pool: it promotes by
         # measured quality, which abstention does not gate
