@@ -232,16 +232,28 @@ def bench_stream(batch, res, u8=True, run=None, bf16=False,
         run_n(n)
         return time.time() - t0
 
-    t_s = min(span(n_small) for _ in range(rounds))
-    t_b = min(span(n_big) for _ in range(rounds))
-    dt = max((t_b - t_s) / (n_big - n_small), 1e-9)
+    # n>=3 full slope reruns per line (VERDICT r4 #9): the tunnel's
+    # 25-900 ms per-fetch erraticism makes single-shot numbers carry
+    # ~+-20%; the artifact records the spread so attributions can cite
+    # medians
+    values = []
+    for _ in range(RERUNS):
+        t_s = min(span(n_small) for _ in range(rounds))
+        t_b = min(span(n_big) for _ in range(rounds))
+        dt = max((t_b - t_s) / (n_big - n_small), 1e-9)
+        values.append(batch / dt)
     n_variants = len(pipe._runner._fns)
-    return batch / dt, n_variants
+    return values, n_variants
 
 
-def slope_time(fn, n_small=10, n_big=40, rounds=2):
+# same-session slope reruns per emitted line (VERDICT r4 #9)
+RERUNS = 3
+
+
+def slope_time(fn, n_small=10, n_big=40, rounds=2, reruns=None):
     """Honest per-call seconds: (T(n_big) - T(n_small)) / (n_big - n_small)
-    with a tiny fetch forcing completion; min over rounds."""
+    with a tiny fetch forcing completion; min over rounds.  Returns a
+    LIST of ``reruns`` independent slope estimates (warmup paid once)."""
     def run(n):
         t0 = time.time()
         out = None
@@ -251,16 +263,19 @@ def slope_time(fn, n_small=10, n_big=40, rounds=2):
         return time.time() - t0
 
     run(2)  # warmup / compile
-    t_s = min(run(n_small) for _ in range(rounds))
-    t_b = min(run(n_big) for _ in range(rounds))
-    return max((t_b - t_s) / (n_big - n_small), 1e-9)
+    slopes = []
+    for _ in range(reruns or RERUNS):
+        t_s = min(run(n_small) for _ in range(rounds))
+        t_b = min(run(n_big) for _ in range(rounds))
+        slopes.append(max((t_b - t_s) / (n_big - n_small), 1e-9))
+    return slopes
 
 
 def measure(mode, batch, res, u8, run, bf16, fast_math, depth=8,
             superset=False):
-    """One pipeline measurement -> (img_per_sec, metric_name)."""
+    """One pipeline measurement -> (img_per_sec values, metric_name)."""
     if mode == 'stream':
-        img_per_sec, n_variants = bench_stream(
+        values, n_variants = bench_stream(
             batch, res, u8=u8, run=run, bf16=bf16, fast_math=fast_math,
             depth=depth, superset=superset)
         print('# stream: depth=%d kernel_variants=%d'
@@ -272,22 +287,33 @@ def measure(mode, batch, res, u8, run, bf16, fast_math, depth=8,
         # fixed key: identical trajectories every call (stable signatures
         # for the grouped path; dropout is always on, so the key changes
         # choices)
-        dt = slope_time(lambda: step_fn(params, imgs, rng))
-        img_per_sec = batch / dt
+        values = [batch / dt
+                  for dt in slope_time(lambda: step_fn(params, imgs, rng))]
     tags = ('' if not u8 else '_u8io') + ('_bf16' if bf16 else '') + \
         ('_trained' if run else '') + \
         ('' if mode == 'switch' else '_' + mode) + \
         ('_superset' if superset else '')
-    return img_per_sec, '512px_images_per_sec_5step_inference%s' % tags
+    return values, '512px_images_per_sec_5step_inference%s' % tags
 
 
-def emit(img_per_sec, metric, n_chips):
+def emit(values, metric, n_chips):
+    """One JSON line: value = MEDIAN of the slope reruns, with the
+    spread recorded (value_min/value_max/n_reruns) so +-10%
+    attributions are checkable (VERDICT r4 #9)."""
+    if not isinstance(values, (list, tuple)):
+        values = [values]
+    vals = sorted(float(v) for v in values)
+    median = vals[len(vals) // 2] if len(vals) % 2 else \
+        0.5 * (vals[len(vals) // 2 - 1] + vals[len(vals) // 2])
     target = 1250.0 * n_chips
     print(json.dumps({
         'metric': metric,
-        'value': round(img_per_sec, 2),
+        'value': round(median, 2),
         'unit': 'images/sec',
-        'vs_baseline': round(img_per_sec / target, 4),
+        'vs_baseline': round(median / target, 4),
+        'n_reruns': len(vals),
+        'value_min': round(vals[0], 2),
+        'value_max': round(vals[-1], 2),
     }), flush=True)
 
 

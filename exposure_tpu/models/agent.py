@@ -149,8 +149,24 @@ def agent_step(policy, variables, img, states, *, key, is_train, progress,
         injected = jnp.logical_and(
             jax.random.bernoulli(k_inj, inject_p, (img.shape[0],)),
             jnp.logical_and(is_train > 0, in_window))
-        forced_id = jax.random.randint(k_fid, (img.shape[0],), 0,
-                                       num_filters)
+        # TARGETED forcing (round 5; VERDICT r4 #2): uniform injection
+        # measurably never revives dead filters — a W draw lands with
+        # prob 1/K and the resulting state is outvoted in the pool by
+        # the locked-in family.  'anti' mode draws the forced filter
+        # from q ~ 1/(pdf + c): the LESS the policy picks a filter, the
+        # MORE it gets forced (a ~10x tilt toward dead heads at the
+        # epsilon floor), so neglected-filter states flow into the
+        # replay pool at a rate the lock-in cannot starve.  Same
+        # off-policy contract as uniform (surrogate zeroed below).
+        inject_mode = str(cfg.get('replay_inject_mode', 'uniform'))
+        if inject_mode == 'anti':
+            q = 1.0 / (pdf + 0.02)
+            q = q / jnp.sum(q, axis=1, keepdims=True)
+            forced_id = pdf_sample(
+                q, jax.random.uniform(k_fid, (img.shape[0], 1)))
+        else:
+            forced_id = jax.random.randint(k_fid, (img.shape[0],), 0,
+                                           num_filters)
         selected_id = jnp.where(injected, forced_id, selected_id)
     else:
         injected = None

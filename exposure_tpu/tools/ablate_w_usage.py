@@ -49,6 +49,15 @@ def main():
                          '"W head is broken" (VERDICT r3 item 8; the '
                          'hard drop already shows W usage 0->0.2, '
                          'W_ABLATION_NOC.json)')
+    ap.add_argument('--inject', type=float, default=0.0,
+                    help='replay_inject_prob for the run (off-policy '
+                         'forced draws into the replay pool)')
+    ap.add_argument('--inject-mode', choices=('uniform', 'anti'),
+                    default='uniform',
+                    help='anti: force from q ~ 1/(pdf+c) — the policy\'s '
+                         'LEAST-picked filters get forced most (round-5 '
+                         'targeted remedy for per-filter exploration '
+                         'lock-in; models/agent.py)')
     ap.add_argument('--out', default='W_ABLATION.json')
     args = ap.parse_args()
 
@@ -73,6 +82,12 @@ def main():
         lo, hi = args.color_curve_range
         cfg.color_curve_range = (lo, hi)
         cfg.name += '-c%g_%g' % (lo, hi)
+    if args.inject > 0.0:
+        cfg.replay_inject_prob = args.inject
+        cfg.replay_inject_until = 0.9
+        cfg.replay_inject_mode = args.inject_mode
+        cfg.name += '-inj%s%g' % (
+            'a' if args.inject_mode == 'anti' else '', args.inject)
     cfg.write_image_interval = 2000
     cast = args.cast
     cfg.fake_data_provider = lambda: SyntheticDataProvider(
@@ -105,6 +120,8 @@ def main():
         'cast': args.cast,
         'color_curve_range': list(cfg.color_curve_range),
         'dropped_filters': sorted(args.drop_filters),
+        'inject': args.inject,
+        'inject_mode': args.inject_mode if args.inject > 0 else None,
         'iters': int(trainer.state.step),
         'train_minutes': round(train_minutes, 1),
         **analyze(cfg, ev, inputs, keys=4),
