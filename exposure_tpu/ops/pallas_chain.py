@@ -478,7 +478,7 @@ def _static_chain_kernel(n_ref, params_ref, img_ref, out_ref, *,
 
 def _dyn_chain_kernel(ids_ref, params_ref, img_ref, out_ref, s_r, s_g,
                       s_b, *, branches, num_steps, max_p, grid_dims,
-                      tile):
+                      tile, dispatch='when'):
     """Per-image DYNAMIC chain with selected-branch-only cost.
 
     ``lax.switch`` over vector-valued branches lowers to
@@ -528,19 +528,52 @@ def _dyn_chain_kernel(ids_ref, params_ref, img_ref, out_ref, s_r, s_g,
         s_r[...] = img_ref[0, 0]
         s_g[...] = img_ref[0, 1]
         s_b[...] = img_ref[0, 2]
+    n_real = len(branches) - 1  # last branch = identity
     for k in range(num_steps):
         fid = ids_ref[bi, k]
         p = [params_ref[bi, k, j] for j in range(max_p)]
-        # identity (id == len(branches) - 1) matches no guard: scratch
-        # passes through unchanged — inactive steps are free
-        for f_idx, branch_fn in enumerate(branches[:-1]):
-            @pl.when(fid == f_idx)
-            def _apply(branch_fn=branch_fn):
-                r, g, b = s_r[...], s_g[...], s_b[...]
-                r, g, b = branch_fn(r, g, b, p, gx, gy)
-                s_r[...] = r
-                s_g[...] = g
-                s_b[...] = b
+        if dispatch == 'switch':
+            # one n-way scf.index_switch per step instead of n chained
+            # scf.ifs — the round-5 probe for the pl.when serialization
+            # overhead (VERDICT r4 #5).  lax.switch clamps the index,
+            # so the identity id lands on the last (pass-through) case.
+            def _mk(branch_fn):
+                def _case(r, g, b):
+                    return branch_fn(r, g, b, p, gx, gy)
+                return _case
+            fns = [_mk(bf) for bf in branches[:-1]] + \
+                [lambda r, g, b: (r, g, b)]
+            r, g, b = jax.lax.switch(fid, fns, s_r[...], s_g[...],
+                                     s_b[...])
+            s_r[...] = r
+            s_g[...] = g
+            s_b[...] = b
+        elif dispatch == 'tree':
+            # two-level guard tree: the skipped HALF costs one predicate
+            # instead of half the branch guards
+            half = (n_real + 1) // 2
+            for lo, hi in ((0, half), (half, n_real)):
+                @pl.when(jnp.logical_and(fid >= lo, fid < hi))
+                def _span(lo=lo, hi=hi):
+                    for f_idx in range(lo, hi):
+                        @pl.when(fid == f_idx)
+                        def _apply(branch_fn=branches[f_idx]):
+                            r, g, b = s_r[...], s_g[...], s_b[...]
+                            r, g, b = branch_fn(r, g, b, p, gx, gy)
+                            s_r[...] = r
+                            s_g[...] = g
+                            s_b[...] = b
+        else:
+            # identity (id == n_real) matches no guard: scratch passes
+            # through unchanged — inactive steps are free
+            for f_idx, branch_fn in enumerate(branches[:-1]):
+                @pl.when(fid == f_idx)
+                def _apply(branch_fn=branch_fn):
+                    r, g, b = s_r[...], s_g[...], s_b[...]
+                    r, g, b = branch_fn(r, g, b, p, gx, gy)
+                    s_r[...] = r
+                    s_g[...] = g
+                    s_b[...] = b
     if quantized:
         def q(x):
             return jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0).astype(
@@ -558,7 +591,7 @@ def pallas_apply_filter_chain_dynamic(img, filter_ids, packed_params,
                                       filters, active_steps=None,
                                       mask_params=None, tile=(256, 256),
                                       batch_chunk=8, interpret=False,
-                                      fast_math=False):
+                                      fast_math=False, dispatch='when'):
     """Fused chain replay with PER-IMAGE dynamic ids at selected-branch
     cost (see ``_dyn_chain_kernel``).  Same contract as
     ``pallas_apply_filter_chain``; ids/params may be device arrays that
@@ -600,7 +633,8 @@ def pallas_apply_filter_chain_dynamic(img, filter_ids, packed_params,
         chunk = planar[s:e]
         kernel = functools.partial(
             _dyn_chain_kernel, branches=branches, num_steps=num_steps,
-            max_p=max_pp, grid_dims=grid_dims, tile=(th, tw))
+            max_p=max_pp, grid_dims=grid_dims, tile=(th, tw),
+            dispatch=dispatch)
         outs.append(pl.pallas_call(
             kernel,
             grid=(e - s, hp // th, wp // tw),

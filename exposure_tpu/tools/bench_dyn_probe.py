@@ -28,6 +28,13 @@ img_d, ids_d, params_d = jnp.asarray(img), jnp.asarray(ids), jnp.asarray(params)
 
 fast = True
 dyn = jax.jit(lambda im, i, p: pallas_apply_filter_chain_dynamic(im, i, p, filters, fast_math=fast))
+# round-5 dispatch variants (VERDICT r4 #5): one lax.switch per step
+# (scf.index_switch if Mosaic lowers it as real control flow) and a
+# two-level pl.when guard tree
+dyn_sw = jax.jit(lambda im, i, p: pallas_apply_filter_chain_dynamic(
+    im, i, p, filters, fast_math=fast, dispatch='switch'))
+dyn_tr = jax.jit(lambda im, i, p: pallas_apply_filter_chain_dynamic(
+    im, i, p, filters, fast_math=fast, dispatch='tree'))
 sw  = jax.jit(lambda im, i, p: pallas_apply_filter_chain(im, i, p, filters, fast_math=fast))
 
 def slope(fn, chain=True, n_small=10, n_big=40):
@@ -48,7 +55,16 @@ err = np.abs(out_dyn.astype(np.int64)-ref_u8)
 print('dyn on-device max LSB err (fast_math=%s): %d  frac>1: %.2e' % (fast, err.max(), (err>1).mean()))
 
 t_dyn = slope(dyn)
-print('dyn   : %.2f ms/batch  -> %.0f img/s (kernel only)' % (t_dyn*1e3, B/t_dyn))
+print('dyn(when)  : %.2f ms/batch  -> %.0f img/s (kernel only)' % (t_dyn*1e3, B/t_dyn))
+for name, fn in (('dyn(switch)', dyn_sw), ('dyn(tree)', dyn_tr)):
+    try:
+        o = np.asarray(fn(img_d, ids_d, params_d)).astype(np.int64)
+        e = np.abs(o - ref_u8)
+        t = slope(fn)
+        print('%-11s: %.2f ms/batch  -> %.0f img/s  (max LSB err %d)'
+              % (name, t*1e3, B/t, e.max()))
+    except Exception as exc:
+        print('%-11s: FAILED to compile/run: %s' % (name, str(exc)[:200]))
 t_sw = slope(sw)
 print('switch: %.2f ms/batch  -> %.0f img/s' % (t_sw*1e3, B/t_sw))
 
