@@ -65,6 +65,13 @@ def main():
                          'replay program (one dispatch per live batch; '
                          'GroupedChainRunner.call_superset) instead of '
                          'per-(sig,bucket) accumulate programs')
+    ap.add_argument('--decompose', action='store_true',
+                    help='split the first post-warmup batch into phases '
+                         '(re-execute warmed program / plan dispatch / '
+                         'ids fetch / replay dispatch / completion '
+                         'force) with jax compile logging on, to '
+                         'attribute the residual first-batch latency '
+                         '(VERDICT r4 #8: 72.7 s unexplained)')
     ap.add_argument('--out', default='WARMUP.json')
     args = ap.parse_args()
 
@@ -110,6 +117,51 @@ def main():
     print('# warmup: %d programs in %.1f s'
           % (wrep['programs_compiled'], wrep['warmup_seconds']),
           file=sys.stderr)
+
+    if args.decompose:
+        import jax
+        import jax.numpy as jnp
+        # hidden-recompile detector: any XLA compile during the phases
+        # below shows up on stderr with a timestamp
+        jax.config.update('jax_log_compiles', True)
+        decomp = {}
+        n_fns_before = len(pipe._runner._fns)
+
+        # phase 0: replay the warmup's own probe batch (seed 0, same
+        # images) — the signature set warmup recorded, so every program
+        # touched is already compiled.  If THIS is slow, the stall is
+        # first-execution alloc / tunnel, not anything compile- or
+        # signature-specific.
+        t0 = time.time()
+        out0 = pipe(images, seed=0, device_out=True)
+        np.asarray(out0[0, :2, :2])
+        decomp['reexec_probe_batch_s'] = round(time.time() - t0, 2)
+
+        # phases of the first FRESH batch (a dropout key the probe
+        # never saw; 50 is outside both the probe range and the timed
+        # seeds below), mirroring __call__'s grouped path step by step.
+        # NOTE: with --decompose these two batches run BEFORE the
+        # warm_first_batch_s measurement, which then reflects batch 3+.
+        key = jax.random.PRNGKey(50)
+        t0 = time.time()
+        ids_d, params_d, mask_d = pipe._plan_for(images, key)
+        decomp['plan_dispatch_s'] = round(time.time() - t0, 2)
+        t0 = time.time()
+        ids = np.asarray(ids_d)
+        decomp['ids_fetch_s'] = round(time.time() - t0, 2)
+        t0 = time.time()
+        out = pipe._replay(images, ids, params_d, mask_d,
+                           device_out=True)
+        decomp['replay_dispatch_s'] = round(time.time() - t0, 2)
+        t0 = time.time()
+        np.asarray(out[0, :2, :2])
+        decomp['completion_force_s'] = round(time.time() - t0, 2)
+        decomp['lazily_compiled_programs'] = \
+            len(pipe._runner._fns) - n_fns_before
+        report['first_batch_decomposition'] = decomp
+        print('# decomposition: %s' % json.dumps(decomp),
+              file=sys.stderr)
+        jax.config.update('jax_log_compiles', False)
 
     lats = []
     for s in range(args.seeds):
