@@ -338,6 +338,61 @@ class TestSelectPolicy:
         Evaluator(cfg2, model_root=str(tmp_path))
 
 
+class TestValidateSelector:
+    def test_rank_stats_and_comp2(self, tmp_path, monkeypatch):
+        """The retrospective selector validator: scipy-free rank stats
+        plus the shipped comp2 composite on a synthetic pool where
+        final_emd alone mispicks (the inject2 seed-4 failure mode) and
+        Ct-usage rescues it."""
+        import sys
+
+        from exposure_tpu.tools import validate_selector as vs
+
+        np.testing.assert_array_equal(
+            vs.rankdata([3.0, 1.0, 2.0]), [3.0, 1.0, 2.0])
+        np.testing.assert_array_equal(
+            vs.rankdata([1.0, 1.0, 2.0]), [1.5, 1.5, 3.0])
+        assert vs.spearman([1, 2, 3], [10, 20, 30]) == pytest.approx(1.0)
+        assert vs.spearman([1, 2, 3], [3, 2, 1]) == pytest.approx(-1.0)
+
+        def rec(seed, q, emd, ct):
+            return {'seed': seed, 'final_emd': emd, 'final_g_loss': -0.8,
+                    'quality': {'avg_after': q},
+                    'trajectories': {'filter_usage': {'Ct': ct},
+                                     'distinct_sequences_frac': 0.02}}
+
+        # seed2 is best; seed0 has the LOWEST emd but Ct-everywhere
+        # lock-in (the measured failure mode comp2 exists to catch)
+        runs = [rec(0, 0.55, 20.0, 250), rec(1, 0.60, 23.0, 240),
+                rec(2, 0.72, 21.0, 120)]
+        pool = tmp_path / 'PARITY_FAKE.json'
+        pool.write_text(json.dumps({'runs': runs}))
+        out = tmp_path / 'SELECT_T.json'
+        monkeypatch.setattr(sys, 'argv', [
+            'prog', '--pools', str(pool), '--min-n', '3',
+            '--out', str(out)])
+        vs.main()
+        d = json.loads(out.read_text())
+        sel = d['pools'][str(pool)]['selectors']
+        assert sel['neg_emd']['picked_seed'] == 0      # emd alone fails
+        assert sel['comp2']['picked_seed'] == 2        # comp2 rescues
+        assert sel['comp2']['regret'] == 0.0
+        assert d['shipped'] == 'comp2'
+
+    def test_comp2_scores_in_select_policy(self):
+        from exposure_tpu.tools.select_policy import comp2_scores
+
+        runs = ['a', 'b', 'c']
+        scores = comp2_scores(runs, ct_usage={'a': 250, 'b': 120,
+                                              'c': 200},
+                              final_emd={'a': 20.0, 'b': 21.0,
+                                         'c': 25.0})
+        # b: best Ct rank (1) + mid emd rank (2) -> best mean rank
+        assert max(scores, key=scores.get) == 'b'
+        # c: worst on both -> worst
+        assert min(scores, key=scores.get) == 'c'
+
+
 class TestEditSequence:
     def test_edit_scale_and_drop(self, tmp_path):
         """One-command white-box edit: halve a recorded exposure boost,
