@@ -379,11 +379,13 @@ def test_grouped_runner_fused_set_limit_switchover(rng, cfg, filters):
                                atol=1e-6)
 
 
+@pytest.mark.parametrize('dispatch', ['when', 'switch', 'tree'])
 @pytest.mark.parametrize('dtype', ['float32', 'uint8'])
-def test_dynamic_chain_matches_jnp(rng, cfg, filters, dtype):
-    """The pl.when-dispatched dynamic kernel: per-image ids, selected-
-    branch-only cost, no host grouping — must match the jnp chain on a
-    signature-diverse batch (both dtypes)."""
+def test_dynamic_chain_matches_jnp(rng, cfg, filters, dtype, dispatch):
+    """The dynamic kernel's three dispatch modes (flat pl.when guards,
+    per-step lax.switch, two-level guard tree — VERDICT r4 #5 probes):
+    per-image ids, selected-branch-only cost, no host grouping — each
+    must match the jnp chain on a signature-diverse batch."""
     from exposure_tpu.ops.pallas_chain import (
         pallas_apply_filter_chain_dynamic,
     )
@@ -398,7 +400,8 @@ def test_dynamic_chain_matches_jnp(rng, cfg, filters, dtype):
         ref_in = img
     expected = apply_filter_chain(ref_in, ids, params, filters)
     got = pallas_apply_filter_chain_dynamic(
-        img, ids, params, filters, tile=(32, 128), interpret=True)
+        img, ids, params, filters, tile=(32, 128), interpret=True,
+        dispatch=dispatch)
     if dtype == 'uint8':
         exp_u8 = np.asarray(jnp.round(jnp.clip(expected, 0, 1) * 255)
                             .astype(jnp.uint8)).astype(np.int64)
