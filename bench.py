@@ -154,7 +154,7 @@ def build_pipeline(batch, res, mode='grouped', u8=True, run=None,
 
 
 def bench_stream(batch, res, u8=True, run=None, bf16=False,
-                 fast_math=True, depth=8, superset=False):
+                 fast_math=True, depth=8, superset=False, dynamic=False):
     """Deep-pipelined grouped serving over a stream of batches
     (core/serving.py map_batches): plans run 2*depth batches ahead,
     ids come back in one stacked fetch per depth batches, replays are
@@ -184,8 +184,18 @@ def bench_stream(batch, res, u8=True, run=None, bf16=False,
         state, step, src = restore_for_serving(run, state)
         print('# bench: restored %s at step %d (%s)' % (run, step, src),
               file=sys.stderr)
-    pipe = RetouchPipeline(cfg, state, bf16=bf16, fast_math=fast_math,
-                           grouped=True, fused_set_limit=0)
+    if dynamic:
+        # round 5: ONE jitted program per batch — plan + pl.when-
+        # dispatched dynamic replay fused, ids never visit the host,
+        # any action mix at selected-branch cost (the post-campaign
+        # probe measured the dynamic kernel 3.7x faster than sync
+        # grouped; tools/bench_dyn_probe)
+        pipe = RetouchPipeline(cfg, state, bf16=bf16,
+                               fast_math=fast_math, dynamic=True)
+    else:
+        pipe = RetouchPipeline(cfg, state, bf16=bf16,
+                               fast_math=fast_math,
+                               grouped=True, fused_set_limit=0)
 
     rng = jax.random.PRNGKey(0)
     if run:
@@ -242,7 +252,8 @@ def bench_stream(batch, res, u8=True, run=None, bf16=False,
         t_b = min(span(n_big) for _ in range(rounds))
         dt = max((t_b - t_s) / (n_big - n_small), 1e-9)
         values.append(batch / dt)
-    n_variants = len(pipe._runner._fns)
+    n_variants = len(pipe._runner._fns) if pipe._runner is not None \
+        else len(pipe._fns)
     return values, n_variants
 
 
@@ -274,12 +285,12 @@ def slope_time(fn, n_small=10, n_big=40, rounds=2, reruns=None):
 def measure(mode, batch, res, u8, run, bf16, fast_math, depth=8,
             superset=False):
     """One pipeline measurement -> (img_per_sec values, metric_name)."""
-    if mode == 'stream':
+    if mode in ('stream', 'dyn'):
         values, n_variants = bench_stream(
             batch, res, u8=u8, run=run, bf16=bf16, fast_math=fast_math,
-            depth=depth, superset=superset)
-        print('# stream: depth=%d kernel_variants=%d'
-              % (depth, n_variants), file=sys.stderr)
+            depth=depth, superset=superset, dynamic=(mode == 'dyn'))
+        print('# %s: depth=%d kernel_variants=%d'
+              % (mode, depth, n_variants), file=sys.stderr)
     else:
         step_fn, params, imgs, rng = build_pipeline(batch, res, mode, u8,
                                                     run=run, bf16=bf16,
@@ -323,7 +334,7 @@ def main():
     run = _flag_value('--run', None)
     driver_mode = run is None and '--switch' not in sys.argv and \
         '--no-pallas' not in sys.argv and '--grouped' not in sys.argv \
-        and '--stream' not in sys.argv
+        and '--stream' not in sys.argv and '--dyn' not in sys.argv
     if driver_mode:
         # driver headline: when a trained flagship checkpoint exists,
         # default to the production serving path — deep-pipelined
@@ -354,6 +365,8 @@ def main():
                 break
     if '--no-pallas' in sys.argv:
         mode = 'jnp'
+    elif '--dyn' in sys.argv:
+        mode = 'dyn'
     elif '--stream' in sys.argv:
         mode = 'stream'
     elif '--grouped' in sys.argv:
