@@ -8,20 +8,18 @@ reference does per image in net.py:796-821 but batched and fused):
   3. replay the recorded chains on the 512x512 originals through the
      fused Pallas kernel.
 
-  Default (round 4): when a trained checkpoint exists
-  (synthetic/final-r4 or --run), the deep-pipelined STREAM serving
-  path with a bf16 policy plan — RetouchPipeline.map_batches runs
-  plans 2*depth batches ahead, reads ids back in ONE stacked fetch per
-  depth batches, and replays through the signature-grouped switchless
-  kernels (the production serving mode, core/serving.py) — with
-  ``--superset`` (the driver headline) freezing the recorded
-  (signature, bucket) layout into ONE fused program so steady-state
-  replay is a single dispatch per batch
-  (GroupedChainRunner.call_superset).  Other modes: ``--switch`` = the
-  single-jit lax.switch kernel (fully device-side, no host syncs — the
-  stable-through-the-tunnel comparison mode), ``--grouped`` =
-  per-batch synchronous grouped replay (3x faster on device than
-  switch, but pays a per-batch host ids fetch).
+  Default headline (round 5): the DYNAMIC one-program stream
+  (``--dyn``) — plan + pl.when-dispatched replay fused in ONE jitted
+  dispatch per batch, ids never visit the host, one compiled program
+  for any action mix (RetouchPipeline(dynamic=True), the accelerator
+  default; 22,291 img/s/chip measured with 0.2% rerun spread).  The
+  grouped-machinery modes remain as self-comparison lines:
+  ``--stream`` = deep-pipelined signature-grouped replay (plans run
+  2*depth ahead, stacked ids fetch) with ``--superset`` freezing the
+  recorded (signature, bucket) layout into one fused program per batch
+  (the round-4 headline, 13,954); ``--switch`` = the single-jit
+  lax.switch kernel (executes every branch — the stable comparison
+  mode); ``--grouped`` = per-batch synchronous grouped replay.
 
 Timing methodology: dependency-honest SLOPE timing — wall-clock of 40
 dispatches minus wall-clock of 10, divided by 30, with a tiny device->
@@ -397,9 +395,12 @@ def main():
         #   3. trained stream + bf16 plan (the round-3 headline),
         #   4. (round 4) trained stream + bf16 + SUPERSET replay — the
         #      frozen-layout one-dispatch-per-batch fused program
-        #      (GroupedChainRunner.call_superset), the new HEADLINE
-        #      (13,499 img/s/chip measured; closes the residual
-        #      per-dispatch host cost PROFILE.md attributed).
+        #      (GroupedChainRunner.call_superset), the round-4 headline
+        #      (13,954 img/s/chip),
+        #   5. (round 5) trained DYNAMIC one-program stream + bf16 —
+        #      plan + pl.when-dispatched replay fused in ONE jit, ids
+        #      never on the host, one compiled program for any mix:
+        #      the new HEADLINE (22,291 img/s/chip, 0.2% rerun spread).
         # tag-distinct metric names match what the same flags produced
         # in earlier rounds' manual runs, so series stay comparable
         v, m = measure('switch', batch, res, u8, None, False, fast_math)
@@ -411,6 +412,9 @@ def main():
         emit(v, m, n_chips)
         v, m = measure('stream', batch, res, u8, run, True, fast_math,
                        depth=depth, superset=True)
+        emit(v, m, n_chips)
+        v, m = measure('dyn', batch, res, u8, run, True, fast_math,
+                       depth=depth)
         emit(v, m, n_chips)
         return
 

@@ -9,14 +9,20 @@ HBM traffic) or float32 in the linear [0, 1] domain.
 Replay strategy (measured on TPU v5e with dependency-serialized slope
 timing, tools/bench_truth.py / bench_kernel_probe.py):
 - the ``lax.switch`` kernel executes EVERY branch per step under
-  Mosaic's lowering (~45 ms per 256x512^2 batch regardless of ids);
+  Mosaic's lowering (~38-45 ms per 256x512^2 batch regardless of ids);
+- the DYNAMIC kernel (``pallas_apply_filter_chain_dynamic``) dispatches
+  each image's ids in-kernel via ``pl.when`` on SMEM scalars — real
+  control flow, selected-branch-only cost (5.76 ms on the same batch
+  after the round-4/5 kernel campaign), ONE compiled program for any
+  action mix, and the ids never visit the host, so plan + replay fuse
+  into a single jitted dispatch per batch.  **This is the accelerator
+  default since round 5** (22.3k img/s/chip streamed, BENCH_r05).
 - grouping the batch by trajectory signature and compiling a SWITCHLESS
-  static kernel per signature (``GroupedChainRunner``) recovers
-  selected-branch-only cost — 3x faster for a trained mix, more when
-  the mix is cheap.  Trained argmax policies reuse a handful of
-  signatures, so compile count stays tiny.  This is the default on
-  accelerators (``grouped=None``); pass ``grouped=False`` to force the
-  single-jit switch-kernel path (e.g. when end-to-end jitability
+  static kernel per signature (``GroupedChainRunner``, ``grouped=True``)
+  plus the frozen-layout superset replay remains available — it was the
+  round-3/4 default and is the comparison baseline (14.0k img/s/chip
+  with superset).  Pass ``grouped=False, dynamic=False`` to force the
+  single-jit switch-kernel path (e.g. when Mosaic-free jitability
   matters more than throughput).
 
 Options:
@@ -67,17 +73,25 @@ class RetouchPipeline:
         # kernel (ops/fastmath.py) — error <= ~4e-5, invisible after
         # u8 quantization; pass fast_math=False for the exact kernels
         self.fast_math = fast_math
-        # dynamic=True: ONE jitted program per batch — plan + pl.when-
+        # dynamic: ONE jitted program per batch — plan + pl.when-
         # dispatched replay fused (ids never visit the host; no
         # grouping, no compile churn, 1 compiled program per shape).
-        # NOT the default: measured on-chip it is ~30% SLOWER than the
-        # grouped runner (30.4 vs 21.4 ms per 256x512px batch on a
-        # trained-like 6-signature mix — pl.when regions serialize the
-        # per-step branch guards even though only one fires), so it is
-        # the COLD-START / compile-budget mode, not the throughput
-        # mode.  See ops/pallas_chain.py::_dyn_chain_kernel.
+        # THE DEFAULT since round 5: after the per-filter kernel
+        # campaign the dynamic kernel runs at the selected-branch
+        # device floor (5.76 ms per 256x512px random-mix batch, 3.7x
+        # faster than sync grouped — tools/bench_dyn_probe; the round-4
+        # 30.4 ms that parked it predated the campaign), and the
+        # streamed pipeline measures 22.3k img/s/chip vs the grouped
+        # superset's 14.0k (BENCH_r05) with a 0.2% rerun spread —
+        # no host syncs, so tunnel erraticism drops out entirely.
+        # The grouped/superset machinery remains available for callers
+        # that ask for it (grouped=True / auto_superset=True).
+        # See ops/pallas_chain.py::_dyn_chain_kernel.
         if dynamic and grouped:
             raise ValueError('dynamic and grouped are exclusive modes')
+        if dynamic is None:
+            dynamic = use_pallas and not bool(grouped) \
+                and not bool(auto_superset)
         self.dynamic = bool(dynamic) and use_pallas
         if grouped is None:
             grouped = use_pallas and not self.dynamic

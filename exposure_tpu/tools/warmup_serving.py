@@ -98,10 +98,13 @@ def main():
     report = {'run': args.run, 'batch': args.batch, 'res': args.res}
 
     def build():
-        # stream-serving configuration: grouped runner, per-(sig,bucket)
-        # programs only (fused_set_limit=0 — set-keyed fused programs
-        # are the compile hazard warmup exists to avoid)
-        return RetouchPipeline.from_run(cfg, bf16=True,
+        # GROUPED stream-serving configuration (explicit since the
+        # round-5 default flipped to the dynamic one-program path,
+        # which needs no warmup beyond its single compile): grouped
+        # runner, per-(sig,bucket) programs only (fused_set_limit=0 —
+        # set-keyed fused programs are the compile hazard warmup
+        # exists to avoid)
+        return RetouchPipeline.from_run(cfg, bf16=True, grouped=True,
                                         fused_set_limit=0)
 
     if not args.skip_cold:

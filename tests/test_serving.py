@@ -264,9 +264,18 @@ def test_warmup_explicit_budget_and_modes(rng):
     assert rep['probe_batches'] == 0
     # creates + accumulate variants for the one (sig, bucket) pair
     assert rep['programs_compiled'] == 2
-    # non-grouped modes: one program
-    pipe_s = RetouchPipeline(cfg, state, use_pallas=True,
+    # non-grouped modes: one program.  grouped=False now resolves to
+    # the DYNAMIC one-program path (the round-5 accelerator default);
+    # the switch kernel needs dynamic=False too.
+    pipe_d = RetouchPipeline(cfg, state, use_pallas=True,
                              interpret=True, grouped=False)
+    assert pipe_d.dynamic
+    rep_d = pipe_d.warmup(imgs)
+    assert rep_d['kind'] == 'dynamic'
+    assert rep_d['programs_compiled'] == 1
+    pipe_s = RetouchPipeline(cfg, state, use_pallas=True,
+                             interpret=True, grouped=False,
+                             dynamic=False)
     rep_s = pipe_s.warmup(imgs)
     assert rep_s['kind'] == 'switch'
     assert rep_s['programs_compiled'] == 1
