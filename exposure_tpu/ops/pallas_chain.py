@@ -496,12 +496,17 @@ def _dyn_chain_kernel(ids_ref, params_ref, img_ref, out_ref, s_r, s_g,
     and the per-signature compile churn: ONE compiled program serves
     every trajectory mix, and the ids can stay on device end-to-end
     (core/serving.py ``dynamic=True`` replays + plans in a single
-    dispatch per batch).  Measured on-chip (r4, 256x512px batch,
-    trained-like 6-signature mix): 30.4 ms/batch vs the grouped
-    runner's 21.4 and the every-branch switch kernel's 46.3 — the
-    guarded regions cost ~30% over perfect grouping (Mosaic serializes
-    the scf.if chain per step), so this is the COLD-START mode (one
-    compile, any mix), not the throughput mode."""
+    dispatch per batch).  Measured on-chip (round 5, 256x512px batch,
+    trained-like 6-signature mix, post-kernel-campaign branches;
+    tools/bench_dyn_probe): dispatch='when' 5.76 ms/batch and 'tree'
+    5.62 vs the grouped runner's 21.2 (incl. host grouping) and the
+    every-branch switch kernel's 37.9 — after the round-4 fast-gamma/
+    max-form-curve campaign the unfired-guard overhead is noise and
+    the chained scf.ifs run at selected-branch cost, so this is the
+    serving DEFAULT (the round-4 30.4 ms 'serialization tax' was the
+    old expensive branches, not the guards).  dispatch='switch'
+    (scf.index_switch, 38.9 ms) confirms lax.switch still lowers to
+    execute-everything even per-step."""
     bi = pl.program_id(0)
     if grid_dims is not None:
         h, w = grid_dims

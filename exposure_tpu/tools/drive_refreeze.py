@@ -68,6 +68,11 @@ def main():
                     help='batches under policy B (drift -> re-freeze -> '
                          'recovery)')
     ap.add_argument('--record', type=int, default=8)
+    ap.add_argument('--max-wait', type=int, default=2400,
+                    help='extra drift-phase batches to keep streaming '
+                         'while the background warm compiles')
+    ap.add_argument('--recover', type=int, default=20,
+                    help='batches measured under the re-frozen layout')
     ap.add_argument('--out', default='REFREEZE_R5.json')
     args = ap.parse_args()
 
@@ -117,6 +122,20 @@ def main():
     pipe.state = state_b
     for i in range(args.pre, args.pre + args.post):
         drive(i, 'B')
+    # The background warm of the new layout is a multi-minute remote
+    # compile; keep realistic traffic flowing until the re-freeze
+    # actually swaps in (or the wait cap trips), then measure the
+    # recovered steady state under the NEW frozen layout.
+    i = args.pre + args.post
+    waited = 0
+    while (refreeze_seen_at is None and waited < args.max_wait
+           and pipe.superset_report()['refreeze_warm_pending']):
+        drive(i, 'B')
+        i += 1
+        waited += 1
+    for _ in range(args.recover):
+        drive(i, 'R')
+        i += 1
 
     def steady(rows):
         """Median wall of the last 10 batches of a span."""
@@ -125,6 +144,7 @@ def main():
 
     a_rows = [r for r in trace if r['phase'] == 'A']
     b_rows = [r for r in trace if r['phase'] == 'B']
+    r_rows = [r for r in trace if r['phase'] == 'R']
     rep = pipe.superset_report()
     result = {
         'run_a': args.run_a, 'run_b': args.run_b,
@@ -139,6 +159,10 @@ def main():
                                 if steady(a_rows) else None),
         'steady_imgs_per_s_B': (round(args.batch / steady(b_rows), 1)
                                 if steady(b_rows) else None),
+        'steady_wall_recovered_s': steady(r_rows),
+        'steady_imgs_per_s_recovered': (
+            round(args.batch / steady(r_rows), 1)
+            if steady(r_rows) else None),
         'max_wall_after_swap_s': round(max(
             (r['wall_s'] for r in b_rows), default=0.0), 4),
         'final_report': rep,
