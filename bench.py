@@ -152,7 +152,8 @@ def build_pipeline(batch, res, mode='grouped', u8=True, run=None,
 
 
 def bench_stream(batch, res, u8=True, run=None, bf16=False,
-                 fast_math=True, depth=8, superset=False, dynamic=False):
+                 fast_math=True, depth=8, superset=False, dynamic=False,
+                 selected_plan=None):
     """Deep-pipelined grouped serving over a stream of batches
     (core/serving.py map_batches): plans run 2*depth batches ahead,
     ids come back in one stacked fetch per depth batches, replays are
@@ -189,7 +190,8 @@ def bench_stream(batch, res, u8=True, run=None, bf16=False,
         # probe measured the dynamic kernel 3.7x faster than sync
         # grouped; tools/bench_dyn_probe)
         pipe = RetouchPipeline(cfg, state, bf16=bf16,
-                               fast_math=fast_math, dynamic=True)
+                               fast_math=fast_math, dynamic=True,
+                               selected_plan=selected_plan)
     else:
         pipe = RetouchPipeline(cfg, state, bf16=bf16,
                                fast_math=fast_math,
@@ -284,9 +286,14 @@ def measure(mode, batch, res, u8, run, bf16, fast_math, depth=8,
             superset=False):
     """One pipeline measurement -> (img_per_sec values, metric_name)."""
     if mode in ('stream', 'dyn'):
+        # --bank-plan: disable the selected-branch-only proxy advance
+        # (core/rollout.py serve_rollout) and plan with the training
+        # formulation's 8-candidate bank instead (dyn mode only)
+        sel = False if '--bank-plan' in sys.argv else None
         values, n_variants = bench_stream(
             batch, res, u8=u8, run=run, bf16=bf16, fast_math=fast_math,
-            depth=depth, superset=superset, dynamic=(mode == 'dyn'))
+            depth=depth, superset=superset, dynamic=(mode == 'dyn'),
+            selected_plan=sel)
         print('# %s: depth=%d kernel_variants=%d'
               % (mode, depth, n_variants), file=sys.stderr)
     else:

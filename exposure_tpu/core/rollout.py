@@ -51,3 +51,104 @@ def rollout(policy, gen_params, images, key, *, cfg, filters, is_train=0,
     return Trajectory(images=imgs, states=sts, filter_ids=ids, params=params,
                       mask_params=mask_params, pdfs=pdfs, surrogates=surs,
                       final_image=final_img, final_state=final_st)
+
+
+def serve_rollout(policy, gen_params, images, key, *, cfg, filters,
+                  num_steps=None, fast_math=True, interpret=False,
+                  batch_chunk=64):
+    """Serving-only rollout: advance the proxy through the SELECTED
+    branch only.
+
+    ``rollout`` (the training path) applies ALL K filters per step and
+    blends by the one-hot selection — the differentiable formulation the
+    pathwise gradient needs (reference agent.py:58-77,124-125).  At
+    serving time nothing differentiates, so the candidate bank is pure
+    waste (~2.8 ms of the 10.15 ms bf16 plan per 512-batch,
+    PROFILE.md): this variant regresses the parameter HEADS for every
+    filter (cheap vector math), picks the argmax action, and advances
+    the 64px proxy through the per-image DYNAMIC Pallas chain kernel on
+    just the selected branch — the same kernel math the full-resolution
+    replay uses, so proxy and replay see identical filter
+    implementations.
+
+    RNG parity: the per-step key split (dropout, selection-noise)
+    matches ``agent_step``, and pdf/epsilon-mix/argmax reproduce
+    agent.py:100-116 exactly — step-1 actions are bit-identical to
+    ``rollout(is_train=0)``; later steps may flip only where the
+    policy's top-2 pdf margin is within the kernel-vs-jnp proxy
+    tolerance (~1e-5; tests/test_serve_rollout.py).
+
+    Returns ``(filter_ids [K, B], params [K, B, max_p],
+    mask_params [K, B, max_m])`` — the plan triple serving consumes.
+    """
+    from exposure_tpu.models.agent import enrich_image_input
+    from exposure_tpu.ops.filters import max_filter_parameters
+    from exposure_tpu.ops.pallas_chain import (
+        pallas_apply_filter_chain_dynamic)
+    from exposure_tpu.utils.ops import STATE_DROPOUT_BEGIN, STATE_STEP_DIM
+
+    if num_steps is None:
+        num_steps = cfg.test_steps
+    batch = images.shape[0]
+    num_filters = len(filters)
+    max_p = max_filter_parameters(filters)
+    max_m = max(f.get_num_mask_parameters() for f in filters)
+    states0 = initial_states(batch, cfg.num_state_dim, images.dtype)
+    masking = any(f.use_masking() for f in filters)
+
+    def body(carry, k):
+        img, st = carry
+        k_drop, _k_noise = jax.random.split(k)  # same split as agent_step
+        enriched = enrich_image_input(cfg, img, st)
+        raw_list, logits = policy.apply(gen_params, enriched,
+                                        rngs={'dropout': k_drop})
+
+        packed, packed_mask = [], []
+        for f, raw in zip(filters, raw_list):
+            n = f.get_num_filter_parameters()
+            p = f.filter_param_regressor(raw[:, :n])
+            flat = p.reshape(p.shape[0], -1)
+            packed.append(jnp.pad(flat,
+                                  ((0, 0), (0, max_p - flat.shape[1]))))
+            if f.use_masking():
+                raw_m = raw[:, n:]
+                packed_mask.append(jnp.pad(
+                    raw_m, ((0, 0), (0, max_m - raw_m.shape[1]))))
+            else:
+                packed_mask.append(jnp.zeros((batch, max_m), img.dtype))
+        packed = jnp.stack(packed, axis=1)            # [B, K, max_p]
+        packed_mask = jnp.stack(packed_mask, axis=1)  # [B, K, max_m]
+
+        # action distribution + epsilon mix (agent.py:100-110); serving
+        # is argmax (is_train=0), so the uniform selection draw that
+        # agent_step makes is unused and skipped here
+        pdf = jax.nn.softmax(logits) + 1e-37
+        pdf = pdf * (1 - cfg.exploration) + cfg.exploration / num_filters
+        pdf = pdf / (jnp.sum(pdf, axis=1, keepdims=True) + 1e-30)
+        selected_id = jnp.argmax(pdf, axis=1).astype(jnp.int32)
+
+        one_hot = jax.nn.one_hot(selected_id, num_filters, dtype=img.dtype)
+        sel_params = jnp.sum(packed * one_hot[:, :, None], axis=1)
+        sel_mask = jnp.sum(packed_mask * one_hot[:, :, None], axis=1)
+
+        out = pallas_apply_filter_chain_dynamic(
+            img.astype(jnp.float32), selected_id[None],
+            sel_params.astype(jnp.float32)[None], filters,
+            mask_params=(sel_mask.astype(jnp.float32)[None]
+                         if masking else None),
+            batch_chunk=batch_chunk, interpret=interpret,
+            fast_math=fast_math).astype(img.dtype)
+
+        # state machine (agent.py:208-239 / agent_step)
+        step = st[:, STATE_STEP_DIM:STATE_STEP_DIM + 1]
+        is_last = (jnp.abs(step + 1 - cfg.test_steps) < 1e-4).astype(
+            img.dtype)
+        usage = st[:, STATE_DROPOUT_BEGIN:]
+        new_st = jnp.concatenate(
+            [is_last, is_last, step + 1, jnp.maximum(usage, one_hot)],
+            axis=1)
+        return (out, new_st), (selected_id, sel_params, sel_mask)
+
+    keys = jax.random.split(key, num_steps)
+    _, (ids, params, mask) = jax.lax.scan(body, (images, states0), keys)
+    return ids, params, mask

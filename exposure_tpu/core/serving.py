@@ -44,7 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from exposure_tpu.core.checkpoint import restore_checkpoint
-from exposure_tpu.core.rollout import rollout
+from exposure_tpu.core.rollout import rollout, serve_rollout
 from exposure_tpu.core.trainer import build_models, init_train_state
 from exposure_tpu.ops.chain import apply_filter_chain
 from exposure_tpu.ops.pallas_chain import (
@@ -58,7 +58,7 @@ class RetouchPipeline:
 
     def __init__(self, cfg, state, use_pallas=None, interpret=False,
                  bf16=False, grouped=None, fast_math=True,
-                 fused_set_limit=None, dynamic=None,
+                 fused_set_limit=None, dynamic=None, selected_plan=None,
                  auto_superset=False, auto_record_batches=8,
                  auto_drift_window=8, auto_drift_threshold=1.0 / 16.0):
         self.cfg = cfg
@@ -96,6 +96,16 @@ class RetouchPipeline:
         if grouped is None:
             grouped = use_pallas and not self.dynamic
         self.grouped = bool(grouped) and use_pallas and not self.dynamic
+        # selected_plan (round 5): in the dynamic one-program path,
+        # advance the 64px PROXY through the selected branch only
+        # (core/rollout.py::serve_rollout) instead of the training
+        # formulation's 8-candidate bank + one-hot blend — the bank is
+        # differentiability machinery serving doesn't need (~2.8 ms of
+        # the 10.15 ms bf16 plan per 512-batch, PROFILE.md).  Dynamic
+        # mode only; None resolves to the measured default.
+        if selected_plan is None:
+            selected_plan = self.dynamic
+        self.selected_plan = bool(selected_plan) and self.dynamic
         # fused_set_limit: how many distinct SIGNATURE SETS get the
         # one-dispatch fused program before falling back to per-group
         # cached programs (ops/pallas_chain.py GroupedChainRunner).
@@ -343,6 +353,18 @@ class RetouchPipeline:
                 proxy = proxy.astype(jnp.bfloat16)
                 gen_params = jax.tree_util.tree_map(
                     lambda x: x.astype(jnp.bfloat16), gen_params)
+            if dynamic and self.selected_plan:
+                ids, params, mask_p = serve_rollout(
+                    self.policy, gen_params, proxy, key, cfg=cfg,
+                    filters=self.filters, fast_math=self.fast_math,
+                    interpret=self.interpret)
+                return pallas_apply_filter_chain_dynamic(
+                    images, ids, params.astype(jnp.float32),
+                    self.filters,
+                    mask_params=(mask_p.astype(jnp.float32)
+                                 if masking else None),
+                    interpret=self.interpret,
+                    fast_math=self.fast_math)
             traj = rollout(self.policy, gen_params, proxy, key, cfg=cfg,
                            filters=self.filters, is_train=0)
             params = traj.params.astype(jnp.float32)

@@ -172,8 +172,12 @@ def test_dynamic_serving_matches_switch_and_grouped(rng):
     filters, policy, critic, value = build_models(cfg)
     state, _ = init_train_state(cfg, policy, critic, value, 0)
     imgs = (rng.rand(4, 64, 128, 3) * 255).astype(np.uint8)
+    # selected_plan=False: this test checks DISPATCH equivalence given
+    # the identical (bank-blend) plan; the selected-only proxy advance
+    # may legitimately flip argmax at near-tie pdf margins and is
+    # covered by tests/test_serve_rollout.py
     pipe_d = RetouchPipeline(cfg, state, use_pallas=True, interpret=True,
-                             dynamic=True)
+                             dynamic=True, selected_plan=False)
     assert pipe_d.dynamic and not pipe_d.grouped
     pipe_s = RetouchPipeline(cfg, state, use_pallas=True, interpret=True,
                              dynamic=False, grouped=False)
@@ -200,7 +204,7 @@ def test_dynamic_map_batches_matches_grouped_stream(rng):
     batches = [(rng.rand(2, 64, 128, 3) * 255).astype(np.uint8)
                for _ in range(4)]
     pipe_d = RetouchPipeline(cfg, state, use_pallas=True, interpret=True,
-                             dynamic=True)
+                             dynamic=True, selected_plan=False)
     pipe_g = RetouchPipeline(cfg, state, use_pallas=True, interpret=True,
                              grouped=True)
     outs_d = list(pipe_d.map_batches(iter(batches), seed=2))
