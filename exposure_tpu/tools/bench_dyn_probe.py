@@ -72,3 +72,17 @@ runner = GroupedChainRunner(filters, fast_math=fast, fused_set_limit=0)
 def grp(im, i, p): return runner(im, i, p)
 t_g = slope(grp)
 print('grouped(sync): %.2f ms/batch -> %.0f img/s (incl host grouping)' % (t_g*1e3, B/t_g))
+
+# batch_chunk sweep (round 5): the dyn path emits one pallas_call per
+# ``batch_chunk`` images inside the jit — larger chunks mean fewer
+# kernel launches (B/chunk per batch) at identical math; probe whether
+# launch count is visible at all on-device
+for chunk in (16, 32, 64):
+    fn = jax.jit(lambda im, i, p, c=chunk: pallas_apply_filter_chain_dynamic(
+        im, i, p, filters, fast_math=fast, batch_chunk=c))
+    try:
+        t = slope(fn)
+        print('dyn(when,chunk=%2d): %.2f ms/batch -> %.0f img/s'
+              % (chunk, t*1e3, B/t))
+    except Exception as exc:
+        print('dyn(when,chunk=%2d): FAILED: %s' % (chunk, str(exc)[:160]))
