@@ -12,7 +12,9 @@ reference does per image in net.py:796-821 but batched and fused):
   (``--dyn``) — plan + pl.when-dispatched replay fused in ONE jitted
   dispatch per batch, ids never visit the host, one compiled program
   for any action mix (RetouchPipeline(dynamic=True), the accelerator
-  default; 22,291 img/s/chip measured with 0.2% rerun spread).  The
+  default), with the plan advancing its proxy through the SELECTED
+  branch only (core/rollout.py serve_rollout; 25,029 img/s/chip
+  measured, ~1% rerun spread; ``--bank-plan`` reverts).  The
   grouped-machinery modes remain as self-comparison lines:
   ``--stream`` = deep-pipelined signature-grouped replay (plans run
   2*depth ahead, stacked ids fetch) with ``--superset`` freezing the
@@ -406,8 +408,9 @@ def main():
         #      (13,954 img/s/chip),
         #   5. (round 5) trained DYNAMIC one-program stream + bf16 —
         #      plan + pl.when-dispatched replay fused in ONE jit, ids
-        #      never on the host, one compiled program for any mix:
-        #      the new HEADLINE (22,291 img/s/chip, 0.2% rerun spread).
+        #      never on the host, one compiled program for any mix,
+        #      selected-branch-only plan (serve_rollout): the new
+        #      HEADLINE (25,029 img/s/chip; 22.2k with --bank-plan).
         # tag-distinct metric names match what the same flags produced
         # in earlier rounds' manual runs, so series stay comparable
         v, m = measure('switch', batch, res, u8, None, False, fast_math)

@@ -81,8 +81,9 @@ class RetouchPipeline:
         # device floor (5.76 ms per 256x512px random-mix batch, 3.7x
         # faster than sync grouped — tools/bench_dyn_probe; the round-4
         # 30.4 ms that parked it predated the campaign), and the
-        # streamed pipeline measures 22.3k img/s/chip vs the grouped
-        # superset's 14.0k (BENCH_r05) with a 0.2% rerun spread —
+        # streamed pipeline measures 25.0k img/s/chip with the
+        # selected-branch-only plan (22.2k with the bank plan) vs the
+        # grouped superset's 14.0k (BENCH_r05), ~1% rerun spread —
         # no host syncs, so tunnel erraticism drops out entirely.
         # The grouped/superset machinery remains available for callers
         # that ask for it (grouped=True / auto_superset=True).
