@@ -287,15 +287,16 @@ def slope_time(fn, n_small=10, n_big=40, rounds=2, reruns=None):
 def measure(mode, batch, res, u8, run, bf16, fast_math, depth=8,
             superset=False):
     """One pipeline measurement -> (img_per_sec values, metric_name)."""
+    bank_plan = False
     if mode in ('stream', 'dyn'):
         # --bank-plan: disable the selected-branch-only proxy advance
         # (core/rollout.py serve_rollout) and plan with the training
         # formulation's 8-candidate bank instead (dyn mode only)
-        sel = False if '--bank-plan' in sys.argv else None
+        bank_plan = mode == 'dyn' and '--bank-plan' in sys.argv
         values, n_variants = bench_stream(
             batch, res, u8=u8, run=run, bf16=bf16, fast_math=fast_math,
             depth=depth, superset=superset, dynamic=(mode == 'dyn'),
-            selected_plan=sel)
+            selected_plan=False if bank_plan else None)
         print('# %s: depth=%d kernel_variants=%d'
               % (mode, depth, n_variants), file=sys.stderr)
     else:
@@ -310,7 +311,8 @@ def measure(mode, batch, res, u8, run, bf16, fast_math, depth=8,
     tags = ('' if not u8 else '_u8io') + ('_bf16' if bf16 else '') + \
         ('_trained' if run else '') + \
         ('' if mode == 'switch' else '_' + mode) + \
-        ('_superset' if superset else '')
+        ('_superset' if superset else '') + \
+        ('_bankplan' if bank_plan else '')
     return values, '512px_images_per_sec_5step_inference%s' % tags
 
 

@@ -81,18 +81,17 @@ def serve_rollout(policy, gen_params, images, key, *, cfg, filters,
     Returns ``(filter_ids [K, B], params [K, B, max_p],
     mask_params [K, B, max_m])`` — the plan triple serving consumes.
     """
-    from exposure_tpu.models.agent import enrich_image_input
-    from exposure_tpu.ops.filters import max_filter_parameters
+    from exposure_tpu.models.agent import (action_distribution,
+                                           advance_states,
+                                           enrich_image_input,
+                                           pack_param_rows)
     from exposure_tpu.ops.pallas_chain import (
         pallas_apply_filter_chain_dynamic)
-    from exposure_tpu.utils.ops import STATE_DROPOUT_BEGIN, STATE_STEP_DIM
 
     if num_steps is None:
         num_steps = cfg.test_steps
     batch = images.shape[0]
     num_filters = len(filters)
-    max_p = max_filter_parameters(filters)
-    max_m = max(f.get_num_mask_parameters() for f in filters)
     states0 = initial_states(batch, cfg.num_state_dim, images.dtype)
     masking = any(f.use_masking() for f in filters)
 
@@ -103,28 +102,18 @@ def serve_rollout(policy, gen_params, images, key, *, cfg, filters,
         raw_list, logits = policy.apply(gen_params, enriched,
                                         rngs={'dropout': k_drop})
 
-        packed, packed_mask = [], []
+        params_list, raw_masks = [], []
         for f, raw in zip(filters, raw_list):
             n = f.get_num_filter_parameters()
-            p = f.filter_param_regressor(raw[:, :n])
-            flat = p.reshape(p.shape[0], -1)
-            packed.append(jnp.pad(flat,
-                                  ((0, 0), (0, max_p - flat.shape[1]))))
-            if f.use_masking():
-                raw_m = raw[:, n:]
-                packed_mask.append(jnp.pad(
-                    raw_m, ((0, 0), (0, max_m - raw_m.shape[1]))))
-            else:
-                packed_mask.append(jnp.zeros((batch, max_m), img.dtype))
-        packed = jnp.stack(packed, axis=1)            # [B, K, max_p]
-        packed_mask = jnp.stack(packed_mask, axis=1)  # [B, K, max_m]
+            params_list.append(f.filter_param_regressor(raw[:, :n]))
+            raw_masks.append(raw[:, n:] if f.use_masking() else None)
+        packed, packed_mask = pack_param_rows(
+            filters, params_list, raw_masks, batch, img.dtype)
 
         # action distribution + epsilon mix (agent.py:100-110); serving
         # is argmax (is_train=0), so the uniform selection draw that
         # agent_step makes is unused and skipped here
-        pdf = jax.nn.softmax(logits) + 1e-37
-        pdf = pdf * (1 - cfg.exploration) + cfg.exploration / num_filters
-        pdf = pdf / (jnp.sum(pdf, axis=1, keepdims=True) + 1e-30)
+        pdf = action_distribution(logits, cfg, num_filters)
         selected_id = jnp.argmax(pdf, axis=1).astype(jnp.int32)
 
         one_hot = jax.nn.one_hot(selected_id, num_filters, dtype=img.dtype)
@@ -138,15 +127,13 @@ def serve_rollout(policy, gen_params, images, key, *, cfg, filters,
                          if masking else None),
             batch_chunk=batch_chunk, interpret=interpret,
             fast_math=fast_math).astype(img.dtype)
+        if cfg.clamp:
+            # agent_step clamps the blended proxy the same way
+            out = jnp.clip(out, 0.0, 5.0)
 
         # state machine (agent.py:208-239 / agent_step)
-        step = st[:, STATE_STEP_DIM:STATE_STEP_DIM + 1]
-        is_last = (jnp.abs(step + 1 - cfg.test_steps) < 1e-4).astype(
-            img.dtype)
-        usage = st[:, STATE_DROPOUT_BEGIN:]
-        new_st = jnp.concatenate(
-            [is_last, is_last, step + 1, jnp.maximum(usage, one_hot)],
-            axis=1)
+        new_st, _is_last, _usage_pen = advance_states(
+            st, one_hot, cfg, img.dtype)
         return (out, new_st), (selected_id, sel_params, sel_mask)
 
     keys = jax.random.split(key, num_steps)

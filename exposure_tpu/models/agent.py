@@ -64,6 +64,49 @@ class AgentStepOutput(NamedTuple):
     high_res_output: Optional[jnp.ndarray]  # [B, Hh, Wh, C] or None
 
 
+def pack_param_rows(filters, params_list, raw_mask_list, batch, dtype):
+    """Pack per-filter regressed params + raw mask heads into the
+    fixed-width trajectory layout the replay kernels consume:
+    ``(packed [B, K, max_p], packed_mask [B, K, max_m])``.  Shared by
+    the training step and ``core/rollout.py::serve_rollout`` so the
+    layout cannot drift between them."""
+    max_p = max_filter_parameters(filters)
+    max_m = max(f.get_num_mask_parameters() for f in filters)
+    packed, packed_mask = [], []
+    for f, p, raw_m in zip(filters, params_list, raw_mask_list):
+        flat = p.reshape(p.shape[0], -1)
+        packed.append(jnp.pad(flat, ((0, 0), (0, max_p - flat.shape[1]))))
+        if raw_m is not None:
+            packed_mask.append(jnp.pad(
+                raw_m, ((0, 0), (0, max_m - raw_m.shape[1]))))
+        else:
+            packed_mask.append(jnp.zeros((batch, max_m), dtype))
+    return jnp.stack(packed, axis=1), jnp.stack(packed_mask, axis=1)
+
+
+def action_distribution(logits, cfg, num_filters):
+    """Softmax + epsilon exploration mix (reference agent.py:100-110).
+    Shared by agent_step and serve_rollout."""
+    pdf = jax.nn.softmax(logits) + 1e-37
+    pdf = pdf * (1 - cfg.exploration) + cfg.exploration / num_filters
+    return pdf / (jnp.sum(pdf, axis=1, keepdims=True) + 1e-30)
+
+
+def advance_states(states, one_hot, cfg, dtype):
+    """State-machine step (reference agent.py:208-239): returns
+    ``(new_states, is_last_step, usage_penalty)``.  Shared by
+    agent_step and serve_rollout."""
+    step = states[:, STATE_STEP_DIM:STATE_STEP_DIM + 1]
+    is_last_step = (jnp.abs(step + 1 - cfg.test_steps) < 1e-4).astype(
+        dtype)
+    usage = states[:, STATE_DROPOUT_BEGIN:]
+    usage_penalty = jnp.sum(usage * one_hot, axis=1, keepdims=True)
+    new_usage = jnp.maximum(usage, one_hot)
+    new_states = jnp.concatenate(
+        [is_last_step, is_last_step, step + 1, new_usage], axis=1)
+    return new_states, is_last_step, usage_penalty
+
+
 def agent_step(policy, variables, img, states, *, key, is_train, progress,
                cfg, filters, high_res=None, selection_noise=None):
     """Run one policy + filter step.
@@ -91,13 +134,10 @@ def agent_step(policy, variables, img, states, *, key, is_train, progress,
     raw_list, logits = policy.apply(variables, enriched,
                                     rngs={'dropout': k_drop})
 
-    max_p = max_filter_parameters(filters)
-    max_m = max(f.get_num_mask_parameters() for f in filters)
     candidates = []
     hi_candidates = []
-    packed = []
-    packed_mask = []
     all_params = []
+    raw_masks = []
     for f, raw in zip(filters, raw_list):
         n = f.get_num_filter_parameters()
         raw_f = raw[:, :n]
@@ -107,21 +147,14 @@ def agent_step(policy, variables, img, states, *, key, is_train, progress,
         candidates.append(low)
         hi_candidates.append(hi)
         all_params.append(params)
-        flat = params.reshape(params.shape[0], -1)
-        packed.append(jnp.pad(flat, ((0, 0), (0, max_p - flat.shape[1]))))
-        if raw_m is not None:
-            packed_mask.append(jnp.pad(
-                raw_m, ((0, 0), (0, max_m - raw_m.shape[1]))))
-        else:
-            packed_mask.append(jnp.zeros((img.shape[0], max_m), img.dtype))
+        raw_masks.append(raw_m)
     candidates = jnp.stack(candidates, axis=1)  # [B, K, H, W, C]
-    packed = jnp.stack(packed, axis=1)          # [B, K, max_p]
-    packed_mask = jnp.stack(packed_mask, axis=1)  # [B, K, max_m]
+    # [B, K, max_p] / [B, K, max_m]
+    packed, packed_mask = pack_param_rows(filters, all_params, raw_masks,
+                                          img.shape[0], img.dtype)
 
     # Action distribution with epsilon exploration (agent.py:100-110).
-    pdf = jax.nn.softmax(logits) + 1e-37
-    pdf = pdf * (1 - cfg.exploration) + cfg.exploration / num_filters
-    pdf = pdf / (jnp.sum(pdf, axis=1, keepdims=True) + 1e-30)
+    pdf = action_distribution(logits, cfg, num_filters)
     entropy = jnp.sum(-pdf * jnp.log(pdf), axis=1)[:, None]
 
     if selection_noise is None:
@@ -191,15 +224,9 @@ def agent_step(policy, variables, img, states, *, key, is_train, progress,
 
     # State machine (agent.py:208-239): this release terminates exactly at
     # cfg.test_steps — there is no learned submit action.
-    step = states[:, STATE_STEP_DIM:STATE_STEP_DIM + 1]
-    is_last_step = (jnp.abs(step + 1 - cfg.test_steps) < 1e-4).astype(
-        img.dtype)
+    new_states, is_last_step, usage_penalty = advance_states(
+        states, one_hot, cfg, img.dtype)
     submitted = is_last_step
-    usage = states[:, STATE_DROPOUT_BEGIN:]
-    usage_penalty = jnp.sum(usage * one_hot, axis=1, keepdims=True)
-    new_usage = jnp.maximum(usage, one_hot)
-    new_states = jnp.concatenate(
-        [submitted, submitted, step + 1, new_usage], axis=1)
 
     if cfg.clamp:
         out = jnp.clip(out, 0.0, 5.0)

@@ -133,9 +133,14 @@ def main():
         drive(i, 'B')
         i += 1
         waited += 1
-    for _ in range(args.recover):
-        drive(i, 'R')
-        i += 1
+    if refreeze_seen_at is not None:
+        # only measure the 'recovered' phase when the re-freeze actually
+        # swapped in — otherwise these batches would measure the OLD
+        # layout paying merge fallback and the artifact would mislabel
+        # them (recovered fields stay null in that case)
+        for _ in range(args.recover):
+            drive(i, 'R')
+            i += 1
 
     def steady(rows):
         """Median wall of the last 10 batches of a span."""

@@ -31,7 +31,9 @@ def main():
     ap.add_argument('--run', default='synthetic_explore/best')
     ap.add_argument('--batch', type=int, default=512)
     ap.add_argument('--batches', type=int, default=4)
-    ap.add_argument('--bf16', action='store_true', default=True)
+    ap.add_argument('--f32', action='store_true',
+                    help='compare the f32 plans instead of the serving '
+                         'default bf16 plans')
     ap.add_argument('--out', default='SELPLAN_R5.json')
     args = ap.parse_args()
 
@@ -55,7 +57,8 @@ def main():
         proxy, (args.batch, cfg.source_img_size, cfg.source_img_size, 3),
         method='linear')
     gp = state.gen_params
-    if args.bf16:
+    use_bf16 = not args.f32
+    if use_bf16:
         gp = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16), gp)
         proxy = proxy.astype(jnp.bfloat16)
@@ -79,7 +82,7 @@ def main():
         tot += a.size
     report = {
         'run': args.run, 'batch': args.batch, 'batches': args.batches,
-        'bf16': bool(args.bf16), 'ids_total': int(tot),
+        'bf16': use_bf16, 'ids_total': int(tot),
         'ids_agree': int(agree),
         'agreement': round(agree / tot, 6),
         'per_step_agreement': [

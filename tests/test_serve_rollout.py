@@ -80,12 +80,12 @@ def test_divergence_only_at_near_ties(setup):
             '(margins %r)' % (k, margin[flip & ~diverged]))
         diverged |= flip
     # params must match the reference wherever the trajectory prefix
-    # has not diverged
-    live = ~diverged if not diverged.any() else None
-    if live is not None:
-        np.testing.assert_allclose(params[:, live],
-                                   np.asarray(traj.params)[:, live],
-                                   rtol=0, atol=1e-5)
+    # never diverged (flipped rows legitimately carry different params)
+    live = ~diverged
+    assert live.any(), 'every record diverged: plan parity is broken'
+    np.testing.assert_allclose(params[:, live],
+                               np.asarray(traj.params)[:, live],
+                               rtol=0, atol=1e-5)
 
 
 def test_pipeline_selected_plan_end_to_end(setup):
